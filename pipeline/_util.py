@@ -1,0 +1,45 @@
+"""Deterministic per-row RNG + hashing utilities.
+
+The reference gets determinism from *global* seeds
+(pii_synth/generation.py:898-899 `random.seed(seed); Faker.seed(seed)`),
+which only works single-process. Here every random draw is keyed by
+(seed, *row keys) so generation is identical at ANY parallelism — the
+core departure required by a distributed engine (SURVEY.md §4.2).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import random
+import struct
+
+
+def stable_hash(*parts: object) -> int:
+    """64-bit stable hash of a tuple of str/int parts (blake2b, not Python hash)."""
+    h = hashlib.blake2b(digest_size=8)
+    for p in parts:
+        b = str(p).encode("utf-8")
+        h.update(struct.pack("<I", len(b)))
+        h.update(b)
+    return int.from_bytes(h.digest(), "little")
+
+
+def rng_for(*parts: object) -> random.Random:
+    """Deterministic `random.Random` keyed by the given parts."""
+    return random.Random(stable_hash(*parts))
+
+
+def sha256_hex(text: str) -> str:
+    return hashlib.sha256(text.encode("utf-8")).hexdigest()
+
+
+def hex_digest(*parts: object, n: int = 40) -> str:
+    """Deterministic lowercase-hex string of length n (e.g. fake commit sha)."""
+    out = ""
+    i = 0
+    while len(out) < n:
+        out += hashlib.blake2b(
+            str((parts, i)).encode(), digest_size=32
+        ).hexdigest()
+        i += 1
+    return out[:n]

@@ -1,0 +1,12 @@
+"""Deterministic PII span detection + scrubbing (replaces the RoBERTa classifier).
+
+The north rule mandates reproducing the reference's entity-span redaction
+semantics "via deterministic patterns instead of the RoBERTa
+token-classifier". The detector's behavioral spec is the reference
+generator's output distribution (pii_synth/generation.py samplers,
+obfuscators and hard negatives — SURVEY.md §2.8).
+"""
+
+from pipeline.detect.detector import detect_spans  # noqa: F401
+from pipeline.detect.scrub import scrub_text  # noqa: F401
+from pipeline.detect.spans import Span  # noqa: F401

@@ -1,0 +1,167 @@
+"""Validation gates — the deterministic analog of the reference's
+confidence-threshold post-filter (evaluation/model_evaluation.py:253-269,
+SURVEY.md M24) plus its hard-negative suppression semantics
+(pii_synth/generation.py:756-779, M15).
+
+A regex candidate only becomes a span if its gate passes. Gates encode:
+- Luhn check for CREDIT_CARD (Luhn-invalid card = hard negative -> O);
+- numeric-range checks (years, ages, SSN leading digits);
+- context-cue resolution for shape-ambiguous numerics (dotted/spaced
+  ddd.ddd.dddd is both an SSN format, generation.py:138-141, and a phone
+  variation, generation.py:186-187 — only context distinguishes them).
+"""
+
+from __future__ import annotations
+
+import re
+
+DIGITS_RE = re.compile(r"\d")
+
+
+def luhn_ok(s: str) -> bool:
+    digits = [int(c) for c in s if c.isdigit()]
+    if not 13 <= len(digits) <= 19:
+        return False
+    total = 0
+    for i, d in enumerate(reversed(digits)):
+        if i % 2 == 1:
+            d *= 2
+            if d > 9:
+                d -= 9
+        total += d
+    return total % 10 == 0
+
+
+def year_ok(s: str) -> bool:
+    try:
+        return 1900 <= int(s) <= 2035
+    except ValueError:
+        return False
+
+
+# Context cues (case-insensitive) for shape-ambiguous numeric candidates.
+# Derived from the reference template vocabulary (generation.py:393-517):
+# every cue below is a word the templates place near the corresponding slot.
+# An entry may be (word, max_backward_distance) to keep promiscuous cues
+# (" at ") from firing across a whole window.
+SSN_CUES = ("ssn", "social", "sozial", "national id", "tax id")
+PHONE_CUES = (
+    "phone", "call", "tel", "dial", "contact", "callback", "reach",
+    "mine is", "number", "cell", "mobile", "hmu", "calling",
+)
+DATE_CUES = (
+    "dob", "born", "date", "birthday", "exp", "expected", "registered",
+    "joined", "hired", "filled", "arriving", "arrives", "scheduled",
+    "signed", "charged", "meeting", "visit", (" by ", 8), (" on ", 8),
+    "created",
+)
+ADDRESS_CUES = (
+    "address", ("ship to", 12), ("shipping to", 12), ("ship", 12),
+    ("delivery", 24), "apt", "suite", "located", "postcode", "zip",
+    (" at ", 8),
+)
+AGE_CUES = (
+    "age", "aged", "i'm", "im ", "i am", "brother", "partner", "boyfriend",
+    "girlfriend", "wife", "husband", "friend", "me ", "old",
+)
+
+_WINDOW = 60
+_FWD_WINDOW = 14   # forward cues only count when adjacent ("{phone} call me")
+
+
+def _window_before(text: str, start: int) -> str:
+    return text[max(0, start - _WINDOW): start].lower()
+
+
+def _window_after(text: str, end: int) -> str:
+    return text[end: end + _FWD_WINDOW].lower()
+
+
+def _fuzzy_alts(word: str) -> list[str]:
+    """Exact + one-substitution + one-adjacent-transposition variants.
+
+    The outside-span noise (generation.py:620-673) corrupts ~1/3 of 5-char
+    cue words ("SSN:" -> "SZN:", "Contact" -> "C nTact"), so cue matching
+    tolerates one edit. Short cues (<5 chars, except "ssn") stay exact-only
+    to avoid false matches inside carrier words."""
+    alts = [re.escape(word)]
+    if len(word) >= 5 or word in ("ssn", " at ", "call", "dial"):
+        for i in range(len(word)):
+            alts.append(re.escape(word[:i]) + "." + re.escape(word[i + 1:]))
+        for i in range(len(word) - 1):
+            if word[i] != word[i + 1]:
+                alts.append(
+                    re.escape(word[:i] + word[i + 1] + word[i] + word[i + 2:])
+                )
+    if len(word) >= 7 and " " not in word:
+        # long single-word labels ("address", "callback") survive 2 edits;
+        # first char stays exact to bound false matches
+        for i in range(1, len(word)):
+            for j in range(i + 1, len(word)):
+                alts.append(
+                    re.escape(word[:i]) + "." + re.escape(word[i + 1: j])
+                    + "." + re.escape(word[j + 1:])
+                )
+    if word in ("ssn", "call", "dial"):
+        # short fuzzy cue must be a whole token ("s.n" would match the name
+        # "santiago" otherwise)
+        alts = [rf"(?<![a-z])(?:{a})(?![a-z])" for a in alts]
+    return alts
+
+
+_CUE_RE_CACHE: dict[tuple, list[tuple[re.Pattern, int]]] = {}
+
+
+def _cue_res(cues: tuple) -> list[tuple[re.Pattern, int]]:
+    if cues not in _CUE_RE_CACHE:
+        out: list[tuple[re.Pattern, int]] = []
+        for c in cues:
+            word, maxdist = c if isinstance(c, tuple) else (c, 10_000)
+            rx = re.compile("|".join(_fuzzy_alts(word)), re.IGNORECASE)
+            out.append((rx, maxdist))
+        _CUE_RE_CACHE[cues] = out
+    return _CUE_RE_CACHE[cues]
+
+
+def _nearest(win: str, cues: tuple, *, from_end: bool) -> int:
+    """Distance of nearest (fuzzy) cue occurrence, or a large sentinel."""
+    best = 10_000
+    for rx, maxdist in _cue_res(cues):
+        for m in rx.finditer(win):
+            dist = (len(win) - m.start()) if from_end else m.start()
+            if dist <= maxdist:
+                best = min(best, dist)
+            if not from_end:
+                break
+    return best
+
+
+def resolve_numeric_cue(
+    text: str, start: int, end: int, options: list[tuple[str, tuple[str, ...]]],
+    default: str | None,
+) -> str | None:
+    """Pick the label whose cue is nearest to the candidate (backward window
+    preferred, then forward); fall back to `default` (may be None = drop)."""
+    back = _window_before(text, start)
+    fwd = _window_after(text, end)
+    best_label, best_dist = None, 10_000
+    for label, cues in options:
+        d = _nearest(back, cues, from_end=True)
+        if d < best_dist:
+            best_label, best_dist = label, d
+    if best_label is None:
+        for label, cues in options:
+            if label == "ADDRESS":
+                continue  # "ship to X" cues point forward — never backward
+            d = _nearest(fwd, cues, from_end=False)
+            if d < best_dist:
+                best_label, best_dist = label, d
+    return best_label if best_label is not None else default
+
+
+def pipe_flanked(text: str, start: int, end: int) -> tuple[bool, bool]:
+    """(pipe before, pipe after) — the '{person} | {age} | {address} |
+    {phone}' CSV template is the only source of pipe-flanked bare values."""
+    before = text[max(0, start - 2): start] == "| "
+    after = text[end: end + 2] == " |"
+    return before, after

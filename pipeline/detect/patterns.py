@@ -1,0 +1,349 @@
+"""Compiled detection patterns for the 9-entity taxonomy (+ code profile).
+
+Every alternative below is derived from a concrete reference sampler format
+(citations per block, file pii_synth/generation.py = "G"). The fixture
+generator (pipeline/synth/providers.py) emits exactly these shapes, so the
+pattern set IS the learned behavior of the reference's RoBERTa model,
+re-specified deterministically (SURVEY.md §2.8).
+
+Noise robustness: the reference's inside-span noise turns '-' into ' - '
+and '.' into ' . ' (G:695-698), and randomizes case (G:699-701) — hence the
+SEP_D / SEP_P separator alternations and IGNORECASE throughout.
+
+Hard negatives (G:756-775) stay O via:
+- lookarounds: numeric patterns refuse adjacency to word chars / '-' / '.'
+  / '/' / '#', which kills matches inside GUIDs, MACs, SHA1 hex, IPv4 and
+  "Ref #12345";
+- the Luhn gate for CREDIT_CARD (G:760-761 invalid card = valid minus a digit);
+- '@'-handle suppression: EMAIL needs a local part BEFORE the at-sign, and
+  PERSON username shapes refuse a preceding '@' (G:769).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from typing import Callable, Match, Optional
+
+from pipeline.detect import vocab
+from pipeline.detect.gates import (
+    ADDRESS_CUES,
+    AGE_CUES,
+    DATE_CUES,
+    PHONE_CUES,
+    SSN_CUES,
+    luhn_ok,
+    pipe_flanked,
+    resolve_numeric_cue,
+    year_ok,
+)
+
+# ---------------------------------------------------------------- helpers
+
+SEP_D = r"(?: - |-)"          # dash, or noise-spaced dash
+SEP_P = r"(?: \. |\.)"        # dot, or noise-spaced dot
+NB = r"(?<![\w.\-#:])(?<!\d/)"  # numeric lookbehind: fresh token start
+#   ('/'-preceded allowed for the "Contact: {email}/{phone}" template shape,
+#    but digit-slash blocked so nothing matches inside 05/15/1990; ':' barred
+#    so nothing matches inside MAC addresses — "f5:e9:..." is a hard negative)
+NA = r"(?![\w\-/:])(?!\.\d)"   # numeric lookahead: token end ('.'+digit barred)
+
+
+def _alt(words: list[str]) -> str:
+    return "(?:" + "|".join(re.escape(w) for w in sorted(words, key=len, reverse=True)) + ")"
+
+
+FIRST = _alt(vocab.FIRST_NAMES)
+LAST = _alt(vocab.LAST_NAMES)
+ORGW = _alt([w.lower() for w in vocab.ORG_WORDS])
+SUFFIX = _alt([s.lower() for s in vocab.ORG_SUFFIXES])
+CITY = _alt([c.lower() for c in vocab.CITIES])
+COUNTRY = _alt([c.lower() for c in vocab.COUNTRIES])
+STATEF = _alt([s.lower() for s in vocab.STATE_FULL])
+SBASE = _alt([s.lower() for s in vocab.STREET_NAMES_BASE])
+STYPE = _alt([s.lower() for s in vocab.STREET_TYPES])
+ABBR = _alt(vocab.STATE_ABBRS + vocab.COUNTRY_CODES)     # case-sensitive
+INITIALS = _alt(vocab.INITIALS)                           # case-sensitive
+
+MONTHS_FULL = [
+    "january", "february", "march", "april", "may", "june", "july",
+    "august", "september", "october", "november", "december",
+]
+MONTHS_SHORT = [m[:3] for m in MONTHS_FULL]
+MON = _alt(MONTHS_FULL + MONTHS_SHORT)
+ORD = r"(?:st|nd|rd|th)"
+
+# email building blocks [G:350-390 samplers; G:708-739 obfuscations]
+EATOM = r"[A-Za-z0-9_%+]+"
+ELSEP = r"(?:\.(?=\S)| \. | dot |\[dot\])"
+# compact at-signs can take an arbitrary-depth obfuscated domain; the bare
+# " at " word form is restricted (see _conformance_specs) so it can't
+# swallow carrier text like "Contact {person} at {email}".
+EAT_COMPACT = r"(?:@| @ |\[at\]| \[at\] | \(at\) )"
+EAT_WORD = r" at "
+ELOCAL = rf"{EATOM}(?:{ELSEP}{EATOM})*"
+# TLD-anchored domain: keeps the " at " obfuscation form (G:719) from
+# swallowing a preceding carrier word ("email me at kofi.vexler@..." must
+# not match "me at kofi.vexler"). TLD set = generator domains (vocab
+# EMAIL_DOMAINS) + the reference's inside-noise typo 'com'->'con' (G:694).
+ETLD = r"(?:com|con|net|org|edu|io|co)"
+EDOMAIN = rf"{EATOM}(?:{ELSEP}{EATOM})*{ELSEP}{ETLD}(?![\w@])"
+
+GateFn = Callable[[str, Match], Optional[str]]
+
+
+@dataclass
+class PatternSpec:
+    label: str | None           # fixed label, or None when gate decides
+    pattern: str
+    gate: GateFn | None = None
+    flags: int = re.IGNORECASE
+    group: int = 0
+    compiled: re.Pattern = field(init=False)
+
+    def __post_init__(self):
+        self.compiled = re.compile(self.pattern, self.flags)
+
+
+# ---------------------------------------------------------------- gates
+
+def _gate_luhn(text: str, m: Match) -> str | None:
+    return "CREDIT_CARD" if luhn_ok(m.group()) else None
+
+
+def _gate_num9_10(text: str, m: Match) -> str | None:
+    """Bare 9-digit -> SSN [G:128,146-147]; bare 10-digit: leading 0 -> SSN
+    [G:143-144], else a stripped phone [G:188 phone.replace('-','')]."""
+    s = m.group()
+    if len(s) == 9:
+        return "SSN"
+    return "SSN" if s[0] == "0" else "PHONE"
+
+
+def _gate_dotspace334(text: str, m: Match) -> str | None:
+    """ddd.ddd.dddd / ddd ddd dddd is both an SSN format [G:138-141] and a
+    phone variation [G:186-187] — nearest context cue decides, default PHONE."""
+    tail = m.group().replace(" ", "").replace(".", "")
+    if len(tail) != 10:
+        return "PHONE"
+    return resolve_numeric_cue(
+        text, m.start(), m.end(),
+        [("SSN", SSN_CUES), ("PHONE", PHONE_CUES)],
+        default="PHONE",
+    )
+
+
+def _gate_bare4(text: str, m: Match) -> str | None:
+    """Bare 4-digit: phone last-4 [G:190], year-only date [G:262], or an
+    address building number [G:304]. Cue wins; default year-range -> DATE."""
+    before, after = pipe_flanked(text, m.start(), m.end())
+    if before:
+        return "ADDRESS" if after else "PHONE"  # CSV: addr mid, phone last
+    lbl = resolve_numeric_cue(
+        text, m.start(), m.end(),
+        [("PHONE", PHONE_CUES), ("DATE", DATE_CUES), ("ADDRESS", ADDRESS_CUES)],
+        default=None,
+    )
+    if lbl is not None:
+        return lbl
+    return "DATE" if year_ok(m.group()) else None
+
+
+def _gate_age_cue(text: str, m: Match) -> str | None:
+    """1-digit M/F age forms ("5f", "M4") collide with noise-corrupted
+    carrier bigrams ("if" -> "5f", "my" -> "m4") — require an age cue."""
+    return resolve_numeric_cue(
+        text, m.start(), m.end(), [("AGE", AGE_CUES)], default=None,
+    )
+
+
+def _gate_bare12(text: str, m: Match) -> str | None:
+    """Bare 1-2 digit: age [G:164 str(age_num)] or building number [G:305]."""
+    before, after = pipe_flanked(text, m.start(), m.end())
+    if before and after:
+        return "AGE"  # CSV template: 2nd field is the age
+    return resolve_numeric_cue(
+        text, m.start(), m.end(),
+        [("AGE", AGE_CUES), ("ADDRESS", ADDRESS_CUES)],
+        default=None,
+    )
+
+
+def _gate_bare3or5(text: str, m: Match) -> str | None:
+    """Bare 3- or 5-digit: building number / postcode with an address cue."""
+    before, after = pipe_flanked(text, m.start(), m.end())
+    if before:
+        return "ADDRESS" if after else "PHONE"
+    return resolve_numeric_cue(
+        text, m.start(), m.end(),
+        [("ADDRESS", ADDRESS_CUES), ("PHONE", PHONE_CUES)],
+        default=None,
+    )
+
+
+def _gate_ipv4(text: str, m: Match) -> str | None:
+    return "IP" if all(int(o) <= 255 for o in re.findall(r"\d{1,3}", m.group())) else None
+
+
+# ------------------------------------------------- conformance pattern set
+
+def _conformance_specs() -> list[PatternSpec]:
+    P: list[PatternSpec] = []
+
+    # ---- EMAIL [G:350-390, 708-739, M12 noise]
+    P.append(PatternSpec("EMAIL", rf"(?<![A-Za-z0-9_%+.]){ELOCAL}{EAT_COMPACT}{EDOMAIN}"))
+    # " at " word obfuscation [G:719]: domain must be a 2-part TLD domain
+    P.append(PatternSpec("EMAIL", rf"(?<![A-Za-z0-9_%+.]){ELOCAL}{EAT_WORD}{EATOM}{ELSEP}{ETLD}(?![\w@])"))
+    # no-at obfuscation: "john dot gmail dot com" [G:730]
+    P.append(PatternSpec("EMAIL", rf"(?<![A-Za-z0-9_%+.]){ELOCAL} dot {EATOM} dot {ETLD}(?![\w@])"))
+
+    # ---- CREDIT_CARD: bare 13-19 digits + Luhn [G:46,760-761]
+    P.append(PatternSpec(None, rf"{NB}\d{{13,19}}{NA}", gate=_gate_luhn))
+
+    # ---- SSN unique shapes [G:120-153]
+    P.append(PatternSpec("SSN", rf"{NB}\d{{3}}{SEP_D}\d{{2}}{SEP_D}\d{{4}}{NA}"))          # 123-45-6789
+    P.append(PatternSpec("SSN", rf"{NB}\d{{4}}{SEP_D}\d{{4}}{SEP_D}\d{{4}}{NA}"))          # 1234-5678-9012
+    P.append(PatternSpec("SSN", rf"(?<![\w.\-/#])[A-Z]\d{{7,8}}{NA}", flags=0))            # A12345678
+    P.append(PatternSpec(                                                                   # 27.01.06.52.N67.7
+        "SSN",
+        rf"{NB}\d{{2}}{SEP_P}\d{{2}}{SEP_P}\d{{2}}{SEP_P}\d{{2}}{SEP_P}[A-Za-z]\d{{2}}{SEP_P}\d{NA}",
+    ))
+
+    # ---- PHONE unique shapes [G:180-234, 742-751]
+    ph334 = rf"\d{{3}}{SEP_D}\d{{3}}{SEP_D}\d{{4}}"
+    # sampled prefixes are lowercase [G:194-199]; carrier labels ("Phone: ")
+    # are capitalized — case-sensitive so the carrier prefix stays outside
+    P.append(PatternSpec("PHONE", rf"(?:call me at|tel:|phone:) {ph334}", flags=0))
+    P.append(PatternSpec("PHONE", rf"ends in \d{{4}}"))                                     # [G:193]
+    P.append(PatternSpec("PHONE", rf"(?:xxx|\*\*\*){SEP_D}(?:xxx|\*\*\*){SEP_D}\d{{4}}"))   # [G:191-192]
+    P.append(PatternSpec("PHONE", rf"{NB}{ph334}{NA}"))                                     # 555-123-4567
+    P.append(PatternSpec("PHONE", rf"{NB}\d{{3}}/\d{{3}}/\d{{4}}{NA}"))                     # [G:196 '/']
+    P.append(PatternSpec("PHONE", rf"{NB}\(\d{{3}}\) ?\d{{3}}{SEP_D}\d{{4}}{NA}"))          # (555) 123-4567
+    P.append(PatternSpec("PHONE", rf"{NB}\d{{3}}{SEP_D}\d{{4}}{NA}"))                       # last-8 [G:189]
+    P.append(PatternSpec("PHONE", rf"{NB}\+1 {ph334}{NA}"))                                 # [G:197]
+    P.append(PatternSpec("PHONE", rf"{NB}\+\d{{4,6}}{SEP_D}\d{{3}}{SEP_D}\d{{4}}{NA}"))     # [G:204]
+    P.append(PatternSpec("PHONE", rf"{NB}\+\d{{1,2}}{SEP_D}\d{{3}}{SEP_P}\d{{3}}{SEP_P}\d{{4}}{NA}"))  # [G:207]
+    P.append(PatternSpec("PHONE", rf"{NB}\+\d{{1,2}}{SEP_D}\d{{3}}{SEP_D}\d{{3}}{SEP_P}\d{{4}}{NA}"))  # [G:210]
+    P.append(PatternSpec("PHONE", rf"{NB}0\d{{4}}{SEP_P}\d{{3}}{SEP_P}\d{{3}}{SEP_D}\d{{4}}{NA}"))     # [G:213]
+    P.append(PatternSpec("PHONE", rf"{NB}\+\d{{5,7}} \d{{4}}{NA}"))                         # [G:216]
+    P.append(PatternSpec("PHONE", rf"{NB}0\d{{2}} \d{{4}}{SEP_P}\d{{4}}{NA}"))              # [G:219]
+    P.append(PatternSpec("PHONE", rf"{NB}\d{{4}}{SEP_D}\d{{3}}{SEP_D}\d{{4}}{NA}"))         # [G:222]
+    P.append(PatternSpec("PHONE", rf"{NB}\+\d{{1,2}} \d{{2}}{SEP_D}\d{{3}} \d{{4}}{NA}"))   # [G:225]
+    P.append(PatternSpec("PHONE", rf"{NB}00\d{{2}}{SEP_D}\d{{4}}{NA}"))                     # [G:228]
+    P.append(PatternSpec("PHONE", rf"{NB}\+\d{{1,2}} \d{{3}} \d{{3}} \d{{4}}{NA}"))         # [G:231]
+    P.append(PatternSpec("PHONE", rf"{NB}\d(?: \d){{6,14}}{NA}"))                           # obf spaced [G:747]
+    # template-parenthesized last-4 ("Attendees: {person} ({phone})"): no
+    # sampled phone format has parens, so the parens are carrier text
+    P.append(PatternSpec("PHONE", rf"\((\d{{4}})\)", group=1))
+    P.append(PatternSpec("PHONE", rf"{NB}\d{{3}}(?:{SEP_D}\d{{3}}){{1,4}}(?:{SEP_D}\d{{1,2}})?{NA}"))  # obf 3-chunks [G:748]
+
+    # ---- ambiguous numerics (cue-resolved)
+    P.append(PatternSpec(None, rf"{NB}\d{{3}}{SEP_P}\d{{3}}{SEP_P}\d{{4}}{NA}", gate=_gate_dotspace334))
+    P.append(PatternSpec(None, rf"{NB}\d{{3}} \d{{3}} \d{{1,9}}{NA}", gate=_gate_dotspace334))
+    P.append(PatternSpec(None, rf"{NB}\d{{9,10}}{NA}", gate=_gate_num9_10))
+
+    # ---- DATE [G:236-288]
+    P.append(PatternSpec("DATE", rf"{NB}\d{{4}}{SEP_D}\d{{2}}{SEP_D}\d{{2}}(?:T00:00:00)?{NA}"))
+    P.append(PatternSpec("DATE", rf"{NB}\d{{1,2}}/\d{{1,2}}/\d{{1,4}}{NA}"))  # year%100 can be 1 digit [G:264]
+    P.append(PatternSpec("DATE", rf"birthday: \d{{1,2}}/\d{{1,2}}{NA}"))
+    P.append(PatternSpec("DATE", rf"\b{MON} \d{{1,2}}{ORD}?, \d{{4}}{NA}"))
+    P.append(PatternSpec("DATE", rf"{NB}\d{{1,2}}{ORD} {MON} \d{{4}}{NA}"))
+    P.append(PatternSpec("DATE", rf"\b{MON} \d{{4}}{NA}"))
+    P.append(PatternSpec("DATE", rf"\b{MON}/\d{{1,2}}{NA}"))
+    P.append(PatternSpec("DATE", rf"\bborn in \d{{4}}{NA}"))
+
+    # ---- AGE [G:155-178]
+    P.append(PatternSpec("AGE", rf"{NB}\d{{1,2}}[mf]/\d{{1,2}}[mf]{NA}"))
+    P.append(PatternSpec("AGE", rf"{NB}\d{{1,2}}(?:{SEP_D}| )?years? ?{SEP_D}?old\b"))
+    P.append(PatternSpec("AGE", rf"{NB}\d{{1,2}}yo\b"))
+    P.append(PatternSpec("AGE", rf"\bage {NB}\d{{1,2}}{NA}(?! ?[mf]\b)"))
+    P.append(PatternSpec("AGE", rf"\bi'm \d{{1,2}}{NA}"))
+    P.append(PatternSpec("AGE", rf"\(\d{{1,2}}[mf]?\)"))
+    P.append(PatternSpec("AGE", rf"\[\d{{1,2}}[mf]\]"))
+    P.append(PatternSpec("AGE", rf"{NB}\d{{2}} ?[mf]\b(?!{SEP_D})"))
+    P.append(PatternSpec("AGE", rf"(?<![\w.\-/#(])[mf]\d{{2}}{NA}"))
+    P.append(PatternSpec(None, rf"{NB}\d ?[mf]\b(?!{SEP_D})", gate=_gate_age_cue))
+    P.append(PatternSpec(None, rf"(?<![\w.\-/#(])[mf]\d{NA}", gate=_gate_age_cue))
+
+    # ---- ADDRESS [G:290-348]
+    P.append(PatternSpec(
+        "ADDRESS",
+        rf"{NB}\d{{1,4}} {SBASE} {STYPE}, {CITY}, [A-Z]{{2}} \d{{5}}{NA}",
+    ))
+    P.append(PatternSpec("ADDRESS", rf"{NB}\d{{1,4}} {SBASE} {STYPE}\b"))
+    P.append(PatternSpec("ADDRESS", rf"\b{SBASE} {STYPE}\b"))
+    P.append(PatternSpec("ADDRESS", rf"\b{CITY}\b"))
+    P.append(PatternSpec("ADDRESS", rf"\b{COUNTRY}\b"))
+    P.append(PatternSpec("ADDRESS", rf"\b{STATEF}\b"))
+    P.append(PatternSpec("ADDRESS", rf"\b(?:apartment|suite|floor) \d{{1,3}}{NA}"))
+    P.append(PatternSpec("ADDRESS", rf"{NB}\d{{5}}, \d{{5}}{NA}"))
+    P.append(PatternSpec("ADDRESS", rf"(?<![\w.\-/#]){ABBR}(?![\w\-])", flags=0))
+    P.append(PatternSpec("ADDRESS", rf"(?<![\w.\-/#])[A-Z]{{2}}\d{{2}}{NA}", flags=0))
+
+    # ---- ORG: company() analog shapes [G:41]
+    P.append(PatternSpec("ORG", rf"\b{ORGW}, {ORGW} and {ORGW}\b"))
+    P.append(PatternSpec("ORG", rf"\b{ORGW} {SUFFIX}\b"))
+    P.append(PatternSpec("ORG", rf"\b{ORGW}{SEP_D}{ORGW}\b"))
+
+    # ---- PERSON [G:51-118]
+    P.append(PatternSpec("PERSON", rf"\b{FIRST} {LAST}\b"))
+    P.append(PatternSpec("PERSON", rf"(?<![\w.@]){FIRST}{SEP_P}{LAST}(?:\d{{2}})?{NA}"))
+    P.append(PatternSpec("PERSON", rf"(?<![\w.@]){FIRST}_{LAST}(?:\d{{1,2}})?{NA}"))
+    P.append(PatternSpec("PERSON", rf"(?<![\w.@]){FIRST}\d{{2,3}}{NA}"))
+    P.append(PatternSpec("PERSON", rf"(?<![\w.@])(?:19|20)\d{{2}}{FIRST}{SEP_P}{LAST}{NA}"))
+    P.append(PatternSpec("PERSON", rf"(?<![\w.@])(?:19|20)\d{{2}}(?:{FIRST}|{LAST}){NA}"))
+    P.append(PatternSpec("PERSON", rf"(?<![\w.@])\d{{2}}(?:{FIRST}|{LAST}){NA}"))
+    P.append(PatternSpec("PERSON", rf"(?<![\w.@])[a-z]{{6,20}}\d{{2,6}}{NA}"))
+    P.append(PatternSpec("PERSON", rf"(?<![\w.@])[A-Z]\d{{6}}{NA}", flags=0))
+    P.append(PatternSpec("PERSON", rf"(?<![\w.@])[A-EG-LN-Z]\d{{2}}{NA}", flags=0))
+    P.append(PatternSpec("PERSON", rf"(?<![\w.@]){INITIALS}(?![\w\-])", flags=0))
+    P.append(PatternSpec("PERSON", rf"(?<![\w.@']){FIRST}(?![\w.\-])"))
+
+    # ---- residual bare numerics (cue-gated; lowest specificity)
+    P.append(PatternSpec(None, rf"{NB}\d{{4}}{NA}", gate=_gate_bare4))
+    P.append(PatternSpec(None, rf"{NB}\d{{5}}{NA}", gate=_gate_bare3or5))
+    P.append(PatternSpec(None, rf"{NB}\d{{3}}{NA}", gate=_gate_bare3or5))
+    P.append(PatternSpec(None, rf"{NB}\d{{1,2}}{NA}", gate=_gate_bare12))
+
+    return P
+
+
+# ------------------------------------------------------ code profile set
+
+AWS_KEY = r"AKIA[0-9A-Z]{16}"
+GH_TOKEN = r"gh[pousr]_[A-Za-z0-9]{36}"
+HEX_SECRET = r"(?:api[_-]?key|secret|token|password|passwd)\s*[:=]\s*[\"']?([A-Za-z0-9_\-]{16,64})[\"']?"
+
+
+def _code_specs() -> list[PatternSpec]:
+    """Code-profile detectors (north rule: emails, phones, API keys, IPs).
+
+    IPv4 is scrubbed here although it is a hard *negative* in the
+    conformance profile [G:767] — profile flag per SURVEY.md §2.8.
+    """
+    P: list[PatternSpec] = []
+    P.append(PatternSpec("EMAIL", rf"(?<![A-Za-z0-9_%+.])[A-Za-z0-9_%+.]+@[A-Za-z0-9_%+]+(?:\.[A-Za-z0-9_%+]+)+"))
+    P.append(PatternSpec("API_KEY", AWS_KEY, flags=0))
+    P.append(PatternSpec("API_KEY", GH_TOKEN, flags=0))
+    P.append(PatternSpec("API_KEY", HEX_SECRET, group=1))
+    P.append(PatternSpec(None, rf"(?<![\w.])\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}(?![\w.])", gate=_gate_ipv4))
+    P.append(PatternSpec(None, rf"{NB}\d{{13,19}}{NA}", gate=_gate_luhn))
+    P.append(PatternSpec("SSN", rf"{NB}\d{{3}}-\d{{2}}-\d{{4}}{NA}"))
+    P.append(PatternSpec("PHONE", rf"{NB}\d{{3}}[-.]\d{{3}}[-.]\d{{4}}{NA}"))
+    P.append(PatternSpec("PHONE", rf"{NB}\(\d{{3}}\) ?\d{{3}}-\d{{4}}{NA}"))
+    P.append(PatternSpec("PHONE", rf"{NB}\+\d{{1,2}} \d{{3}} \d{{3}} \d{{4}}{NA}"))
+    return P
+
+
+_SPEC_CACHE: dict[str, list[PatternSpec]] = {}
+
+
+def get_specs(profile: str = "conformance") -> list[PatternSpec]:
+    if profile not in _SPEC_CACHE:
+        if profile == "conformance":
+            _SPEC_CACHE[profile] = _conformance_specs()
+        elif profile == "code":
+            _SPEC_CACHE[profile] = _code_specs()
+        else:
+            raise ValueError(f"unknown detector profile: {profile}")
+    return _SPEC_CACHE[profile]

@@ -1,0 +1,95 @@
+"""Span data model + overlap resolution + span→BILOU algebra.
+
+Span semantics mirror the reference exactly: character offsets, half-open
+[start, end), label in the 9-entity taxonomy
+[ref: pii_synth/generation.py:24-29; pii_synth/build_datasets.py:57-60].
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True, order=True)
+class Span:
+    start: int
+    end: int
+    label: str
+
+    def as_dict(self) -> dict:
+        return {"start": self.start, "end": self.end, "label": self.label}
+
+    def overlaps(self, other: "Span") -> bool:
+        return self.start < other.end and other.start < self.end
+
+
+# Detector resolution priority (SURVEY.md §7.5.1): higher-confidence /
+# more-specific classes win overlapping candidates.
+PRIORITY: dict[str, int] = {
+    "EMAIL": 0,
+    "CREDIT_CARD": 1,
+    "SSN": 2,
+    "PHONE": 3,
+    "DATE": 4,
+    "AGE": 5,
+    "ADDRESS": 6,
+    "ORG": 7,
+    "PERSON": 8,
+    # code profile extras
+    "API_KEY": 0,
+    "IP": 1,
+}
+
+
+def resolve_overlaps(cands: list[Span]) -> list[Span]:
+    """Deterministic non-overlap resolution: accept candidates in order of
+    (longer first, class priority, earlier first); skip any overlapping an
+    accepted span. Longest-first so a composite match (full street address,
+    obfuscated email) beats the short numerics it contains. Returns spans
+    sorted by start."""
+    ordered = sorted(
+        cands, key=lambda s: (s.start - s.end, PRIORITY.get(s.label, 99), s.start)
+    )
+    accepted: list[Span] = []
+    for c in ordered:
+        if not any(c.overlaps(a) for a in accepted):
+            accepted.append(c)
+    accepted.sort()
+    return accepted
+
+
+_WORD_RE = re.compile(r"\S+")
+
+
+def spans_to_bilou(text: str, spans: list[Span]) -> tuple[list[str], list[str]]:
+    """Whitespace-word-level BILOU labels.
+
+    Reproduces the reference's span→token alignment rule: a token overlaps a
+    span iff tok_end > span_start and tok_start < span_end; single
+    overlapping token -> U-, else B-, I-*, L-
+    [ref: pii_synth/build_datasets.py:30-106; evaluation/model_evaluation.py:163-221
+    — both implement the same overlap rule; merged here per SURVEY.md M19/M21].
+    Returns (tokens, labels). Used for conformance metrics only — at scale the
+    engine operates on char spans directly (SURVEY.md §1.2).
+    """
+    tokens: list[tuple[int, int, str]] = [
+        (m.start(), m.end(), m.group()) for m in _WORD_RE.finditer(text)
+    ]
+    labels = ["O"] * len(tokens)
+    for sp in sorted(spans):
+        idxs = [
+            i
+            for i, (ts, te, _) in enumerate(tokens)
+            if te > sp.start and ts < sp.end
+        ]
+        if not idxs:
+            continue
+        if len(idxs) == 1:
+            labels[idxs[0]] = "U-" + sp.label
+        else:
+            labels[idxs[0]] = "B-" + sp.label
+            for i in idxs[1:-1]:
+                labels[i] = "I-" + sp.label
+            labels[idxs[-1]] = "L-" + sp.label
+    return [t[2] for t in tokens], labels

@@ -1,0 +1,103 @@
+"""Entity taxonomy + BILOU label space.
+
+Reproduces the reference label algebra exactly:
+- 9 entity types      [ref: pii_synth/config_and_labels.py:26-36]
+- BILOU derivation -> 37 labels ("O" + B/I/L/U x 9)
+                      [ref: pii_synth/config_and_labels.py:38-45;
+                       trained_model/config.json id2label 0..36]
+- label-map JSON export (string keys, parity with save_label_maps)
+                      [ref: pii_synth/config_and_labels.py:48-60]
+- foreign-corpus label adapter (ai4privacy -> ours)
+                      [ref: evaluation/model_evaluation.py:93-130]
+
+Note the reference README claims 33 tags / 8 categories (README.md:154-156);
+the config and the trained model both say 9 categories / 37 labels, which is
+authoritative (SURVEY.md §1.1).
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+ENTITY_TYPES: list[str] = [
+    "EMAIL",
+    "PHONE",
+    "SSN",
+    "CREDIT_CARD",
+    "PERSON",
+    "ORG",
+    "ADDRESS",
+    "DATE",
+    "AGE",
+]
+
+# Code-profile extras (north rule: "regex PII scrubbing (emails, phones,
+# API keys, IPs)"). IPv4 is a hard NEGATIVE in the conformance profile
+# [ref: pii_synth/generation.py:767] but scrubbed in the code profile.
+CODE_ENTITY_TYPES: list[str] = ["EMAIL", "PHONE", "SSN", "CREDIT_CARD", "IP", "API_KEY"]
+
+BILOU_PREFIXES = ("B-", "I-", "L-", "U-")
+
+
+def bilou_labels(entities: list[str] | None = None) -> list[str]:
+    """["O"] + [B-/I-/L-/U-{ent}] in entity order — 37 labels for the default set."""
+    ents = ENTITY_TYPES if entities is None else entities
+    out = ["O"]
+    for ent in ents:
+        for p in BILOU_PREFIXES:
+            out.append(p + ent)
+    return out
+
+
+LABELS: list[str] = bilou_labels()
+LABEL2ID: dict[str, int] = {lb: i for i, lb in enumerate(LABELS)}
+ID2LABEL: dict[int, str] = {i: lb for i, lb in enumerate(LABELS)}
+
+
+def save_label_maps(out_dir: str | Path) -> None:
+    """Write label2id.json / id2label.json with string keys.
+
+    [ref: pii_synth/config_and_labels.py:48-60]
+    """
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    (out / "label2id.json").write_text(json.dumps(LABEL2ID, indent=2))
+    (out / "id2label.json").write_text(
+        json.dumps({str(i): lb for i, lb in ID2LABEL.items()}, indent=2)
+    )
+
+
+# Foreign-corpus adapter: ai4privacy pii-masking-300k labels -> our 9 types.
+# Unmapped labels are dropped. [ref: evaluation/model_evaluation.py:93-130]
+AI4PRIVACY_LABEL_MAP: dict[str, str] = {
+    "EMAIL": "EMAIL",
+    "TEL": "PHONE",
+    "PHONE": "PHONE",
+    "SOCIALNUMBER": "SSN",
+    "SSN": "SSN",
+    "CREDITCARD": "CREDIT_CARD",
+    "CARDNUMBER": "CREDIT_CARD",
+    "USERNAME": "PERSON",
+    "NAME": "PERSON",
+    "FIRSTNAME": "PERSON",
+    "LASTNAME": "PERSON",
+    "COMPANYNAME": "ORG",
+    "STREET": "ADDRESS",
+    "CITY": "ADDRESS",
+    "STATE": "ADDRESS",
+    "ZIPCODE": "ADDRESS",
+    "POSTCODE": "ADDRESS",
+    "COUNTRY": "ADDRESS",
+    "SECADDRESS": "ADDRESS",
+    "BUILDING": "ADDRESS",
+    "DATE": "DATE",
+    "DOB": "DATE",
+    "TIME": "DATE",
+    "AGE": "AGE",
+}
+
+
+def normalize_foreign_label(label: str) -> str | None:
+    """Map a foreign label to our taxonomy; None = drop (unmapped)."""
+    return AI4PRIVACY_LABEL_MAP.get(label.upper())

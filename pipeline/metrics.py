@@ -1,0 +1,85 @@
+"""Entity-level precision/recall/F1 — the reference's seqeval metric
+re-implemented from scratch as a partial+final aggregate.
+
+Semantics: exact (start, end, label) span match, micro-averaged
+[ref: evaluation/model_evaluation.py:319-322; model.ipynb cell 24].
+Per-label report mirrors the classification report (A2) and the
+over/under-prediction entity-count diagnostic (A3,
+evaluation/model_evaluation.py:346-352).
+
+Distribution shape (SURVEY.md A1): per-batch partial TP/FP/FN counts are
+computed inside map_batches; final P/R/F1 is a driver-side reduction of
+the summed counts — predictions are never fully materialized.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+from dataclasses import dataclass, field
+
+from pipeline.detect.spans import Span
+
+
+@dataclass
+class SpanCounts:
+    """Mergeable partial counts keyed by label (the 'combiner')."""
+    tp: Counter = field(default_factory=Counter)
+    fp: Counter = field(default_factory=Counter)
+    fn: Counter = field(default_factory=Counter)
+
+    def update(self, truth: list[Span], pred: list[Span]) -> None:
+        t, p = set(truth), set(pred)
+        for sp in t & p:
+            self.tp[sp.label] += 1
+        for sp in p - t:
+            self.fp[sp.label] += 1
+        for sp in t - p:
+            self.fn[sp.label] += 1
+
+    def merge(self, other: "SpanCounts") -> "SpanCounts":
+        self.tp.update(other.tp)
+        self.fp.update(other.fp)
+        self.fn.update(other.fn)
+        return self
+
+    def as_row(self) -> dict:
+        """Flat dict row for Arrow transport between stages."""
+        out = {}
+        for name, c in (("tp", self.tp), ("fp", self.fp), ("fn", self.fn)):
+            for label, v in c.items():
+                out[f"{name}__{label}"] = v
+        return out
+
+    @classmethod
+    def from_rows(cls, rows: list[dict]) -> "SpanCounts":
+        sc = cls()
+        for row in rows:
+            for k, v in row.items():
+                if v is None:
+                    continue
+                kind, label = k.split("__", 1)
+                getattr(sc, kind)[label] += int(v)
+        return sc
+
+
+def _prf(tp: int, fp: int, fn: int) -> dict:
+    p = tp / (tp + fp) if tp + fp else 0.0
+    r = tp / (tp + fn) if tp + fn else 0.0
+    f1 = 2 * p * r / (p + r) if p + r else 0.0
+    return {"precision": p, "recall": r, "f1": f1, "support": tp + fn}
+
+
+def finalize(counts: SpanCounts) -> dict:
+    """Micro metrics + per-label report + entity-count diagnostics."""
+    tp, fp, fn = sum(counts.tp.values()), sum(counts.fp.values()), sum(counts.fn.values())
+    labels = sorted(set(counts.tp) | set(counts.fp) | set(counts.fn))
+    return {
+        "micro": _prf(tp, fp, fn),
+        "per_label": {
+            lb: _prf(counts.tp[lb], counts.fp[lb], counts.fn[lb]) for lb in labels
+        },
+        "entity_counts": {  # over/under-prediction analysis [A3]
+            "true_entities": tp + fn,
+            "predicted_entities": tp + fp,
+        },
+    }

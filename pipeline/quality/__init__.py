@@ -1,0 +1,11 @@
+"""Quality-filter stack (north rule): language-ID, n-gram perplexity,
+heuristic rules and the keep/drop decision.
+
+The reference's only quality filters are a language filter
+(evaluation/model_evaluation.py:27, M22) and a min-length filter (:240-241,
+M23); its confidence-threshold post-filter (:253-269, M24) is the analog of
+our deterministic gates. The scorers here are the north-star's fastText- /
+KenLM-style stages rebuilt from scratch (no model downloads — offline):
+hashed char-n-gram linear classifier + char-trigram LM, both fit
+deterministically from the in-repo synthetic language corpora.
+"""

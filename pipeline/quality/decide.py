@@ -1,0 +1,71 @@
+"""Keep/drop rule — the quality-filter decision (north rule).
+
+Analog of the reference's filters: language filter (M22,
+evaluation/model_evaluation.py:27), min-length filter (M23, :240-241),
+extended with langid confidence, perplexity and the heuristic thresholds.
+Rules are checked in a fixed order; drop_reason is the FIRST failure.
+Thresholds live here as the single source of truth for engine + oracle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+MIN_CONTENT_CHARS = 10        # [ref: evaluation/model_evaluation.py:240-241]
+MIN_LANG_CONF = 0.60
+MAX_PERPLEXITY = 34.0
+MAX_LINE_LEN = 600
+MAX_LINE_LEN_MEAN = 200.0
+MIN_ALNUM_RATIO = 0.25
+MAX_REPETITION = 0.58
+
+RULES = [
+    "too_short", "lang_mismatch", "low_lang_conf", "high_perplexity",
+    "long_lines", "long_mean_line", "low_alnum", "repetitive",
+]
+
+
+def decide_row(
+    *, lang_claim: str, lang_pred: str, lang_conf: float, perplexity: float,
+    line_len_mean: float, line_len_max: int, alnum_ratio: float,
+    repetition_score: float, content_len: int | None = None,
+) -> tuple[bool, str | None]:
+    if content_len is not None and content_len < MIN_CONTENT_CHARS:
+        return False, "too_short"
+    if lang_pred != lang_claim:
+        return False, "lang_mismatch"
+    if lang_conf < MIN_LANG_CONF:
+        return False, "low_lang_conf"
+    if perplexity > MAX_PERPLEXITY:
+        return False, "high_perplexity"
+    if line_len_max > MAX_LINE_LEN:
+        return False, "long_lines"
+    if line_len_mean > MAX_LINE_LEN_MEAN:
+        return False, "long_mean_line"
+    if alnum_ratio < MIN_ALNUM_RATIO:
+        return False, "low_alnum"
+    if repetition_score > MAX_REPETITION:
+        return False, "repetitive"
+    return True, None
+
+
+def decide_batch(cols: dict[str, np.ndarray], lang_claim, content_len) -> tuple[np.ndarray, list]:
+    """Vectorized decision; returns (keep bool array, drop_reason list)."""
+    n = len(content_len)
+    fails = [
+        ("too_short", np.asarray(content_len) < MIN_CONTENT_CHARS),
+        ("lang_mismatch", np.asarray(cols["lang_pred"]) != np.asarray(lang_claim)),
+        ("low_lang_conf", np.asarray(cols["lang_conf"]) < MIN_LANG_CONF),
+        ("high_perplexity", np.asarray(cols["perplexity"]) > MAX_PERPLEXITY),
+        ("long_lines", np.asarray(cols["line_len_max"]) > MAX_LINE_LEN),
+        ("long_mean_line", np.asarray(cols["line_len_mean"]) > MAX_LINE_LEN_MEAN),
+        ("low_alnum", np.asarray(cols["alnum_ratio"]) < MIN_ALNUM_RATIO),
+        ("repetitive", np.asarray(cols["repetition_score"]) > MAX_REPETITION),
+    ]
+    keep = np.ones(n, dtype=bool)
+    reason: list = [None] * n
+    for name, mask in reversed(fails):  # earlier rules overwrite -> first failure wins
+        for i in np.nonzero(mask)[0]:
+            reason[i] = name
+        keep &= ~mask
+    return keep, reason

@@ -1,0 +1,65 @@
+"""Heuristic quality signals over `content` (north rule): line-length
+stats, alphanumeric ratio, repetition score.
+
+`heuristic_scores` is the scalar (oracle) form; `heuristic_batch` is the
+vectorized Arrow form used by the Ray stage — line splitting, per-line
+lengths and alnum counting all run in pyarrow/numpy kernels; only the
+duplicate-line fraction walks the flattened offsets (cheap hashing).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_ALNUM_RE = r"[A-Za-z0-9]"
+
+
+def heuristic_scores(text: str) -> dict:
+    lines = text.split("\n")
+    lens = [len(ln) for ln in lines]
+    n = len(text)
+    alnum = sum(c.isascii() and c.isalnum() for c in text)
+    uniq = len(set(lines))
+    return {
+        "line_len_mean": float(sum(lens) / len(lens)),
+        "line_len_max": int(max(lens)),
+        "alnum_ratio": float(alnum / n) if n else 0.0,
+        "repetition_score": float(1.0 - uniq / len(lines)),
+    }
+
+
+def heuristic_batch(content: pa.Array | pa.ChunkedArray) -> dict[str, np.ndarray]:
+    if isinstance(content, pa.ChunkedArray):
+        content = content.combine_chunks()
+    n_rows = len(content)
+    lines = pc.split_pattern(content, "\n")
+    flat = pc.list_flatten(lines)
+    flat_lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+    counts = pc.list_value_length(lines).to_numpy(zero_copy_only=False).astype(np.int64)
+    offsets = np.zeros(n_rows + 1, dtype=np.int64)
+    np.cumsum(counts, out=offsets[1:])
+
+    sums = np.add.reduceat(flat_lens, offsets[:-1]) if len(flat_lens) else np.zeros(n_rows)
+    # reduceat quirk: empty slices copy the element — counts>=1 always here
+    line_len_mean = sums / np.maximum(counts, 1)
+    line_len_max = np.maximum.reduceat(flat_lens, offsets[:-1]) if len(flat_lens) else np.zeros(n_rows)
+
+    total_len = pc.utf8_length(content).to_numpy(zero_copy_only=False).astype(np.float64)
+    alnum = pc.count_substring_regex(content, _ALNUM_RE).to_numpy(zero_copy_only=False).astype(np.float64)
+    alnum_ratio = np.divide(alnum, total_len, out=np.zeros_like(alnum), where=total_len > 0)
+
+    # duplicate-line fraction per row (cheap per-row set over flattened lines)
+    flat_py = flat.to_pylist()
+    rep = np.empty(n_rows, dtype=np.float64)
+    for i in range(n_rows):
+        seg = flat_py[offsets[i]: offsets[i + 1]]
+        rep[i] = 1.0 - len(set(seg)) / len(seg) if seg else 0.0
+
+    return {
+        "line_len_mean": line_len_mean.astype(np.float64),
+        "line_len_max": line_len_max.astype(np.int64),
+        "alnum_ratio": alnum_ratio,
+        "repetition_score": rep,
+    }

@@ -1,0 +1,93 @@
+"""Hashed char-n-gram linear language classifier (fastText-lid style, from
+scratch — SURVEY.md L1).
+
+Feature map: byte trigrams of the first SAMPLE_BYTES bytes, hashed into D
+buckets (vectorized numpy rolling-window, no Python loop over chars).
+Model: one L2-normalized profile vector per language; prediction is the
+argmax of cosine scores, confidence a softmax over them. Fit
+deterministically at first use from pipeline.synth.codelang snippets
+(offline env — no lid.176 download; §7.0).
+
+Ray usage: `LangIdScorer` is the T2 actor-pool archetype
+[ref: evaluation/model_evaluation.py:55-63 — model loaded once, reused
+per record]: the model is built once per actor in __init__, __call__
+scores a whole Arrow batch vectorized.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pipeline._util import rng_for
+from pipeline.synth.codelang import LANGS, make_snippet
+
+D = 1 << 16
+SAMPLE_BYTES = 768
+_FIT_SNIPPETS = 120
+
+
+def trigram_counts(text: str) -> np.ndarray:
+    """Hashed byte-trigram count vector (float32, D buckets)."""
+    b = np.frombuffer(text[:SAMPLE_BYTES].encode("utf-8", "replace"), dtype=np.uint8)
+    if b.size < 3:
+        return np.zeros(D, dtype=np.float32)
+    codes = (
+        b[:-2].astype(np.int64) * 65536
+        + b[1:-1].astype(np.int64) * 256
+        + b[2:].astype(np.int64)
+    )
+    # multiplicative hash into D buckets (deterministic, no Python hash())
+    h = (codes * 2654435761) % D
+    return np.bincount(h, minlength=D).astype(np.float32)
+
+
+def _normalize(v: np.ndarray) -> np.ndarray:
+    n = float(np.linalg.norm(v))
+    return v / n if n > 0 else v
+
+
+class LangIdModel:
+    _default: "LangIdModel | None" = None
+
+    def __init__(self, profiles: np.ndarray, langs: list[str]):
+        self.profiles = profiles  # L x D, rows L2-normalized
+        self.langs = langs
+
+    @classmethod
+    def fit(cls, samples: dict[str, list[str]]) -> "LangIdModel":
+        langs = sorted(samples)
+        mat = np.zeros((len(langs), D), dtype=np.float32)
+        for i, lang in enumerate(langs):
+            acc = np.zeros(D, dtype=np.float32)
+            for s in samples[lang]:
+                acc += trigram_counts(s)
+            mat[i] = _normalize(acc)
+        return cls(mat, langs)
+
+    @classmethod
+    def default(cls) -> "LangIdModel":
+        """Deterministic model fit from the synthetic language corpora.
+        Cached per process (once per Ray worker)."""
+        if cls._default is None:
+            samples = {
+                lang: [
+                    make_snippet(lang, rng_for("langid-fit", lang, i), n_lines=30)
+                    for i in range(_FIT_SNIPPETS)
+                ]
+                for lang in LANGS
+            }
+            cls._default = cls.fit(samples)
+        return cls._default
+
+    def predict_batch(self, texts: list[str]) -> tuple[list[str], np.ndarray]:
+        feats = np.stack([_normalize(trigram_counts(t)) for t in texts])
+        scores = feats @ self.profiles.T  # N x L cosine
+        idx = scores.argmax(axis=1)
+        # softmax confidence over cosine scores (temperature sharpens)
+        z = np.exp((scores - scores.max(axis=1, keepdims=True)) * 12.0)
+        conf = z[np.arange(len(texts)), idx] / z.sum(axis=1)
+        return [self.langs[i] for i in idx], conf
+
+    def predict_one(self, text: str) -> tuple[str, float]:
+        langs, conf = self.predict_batch([text])
+        return langs[0], float(conf[0])

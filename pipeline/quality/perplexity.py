@@ -1,0 +1,84 @@
+"""Char-trigram language model perplexity (KenLM-style, from scratch —
+SURVEY.md Q1).
+
+Alphabet: bytes folded to 64 classes (case-folded letters, digits, common
+code punctuation, whitespace, other) so the conditional table is a dense
+64^3 float32 array (1 MiB) — mmap-free, rebuilt deterministically per
+process in under a second. Scoring is fully vectorized: fold bytes,
+rolling-window trigram codes, one fancy-index gather, mean -> 2^H.
+
+Add-k smoothing: logp(c3 | c1 c2) = log2((n3 + k) / (n2 + k * V)).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pipeline._util import rng_for
+from pipeline.synth.codelang import LANGS, make_snippet
+
+V = 64
+SAMPLE_BYTES = 1024
+_K = 0.1
+_FIT_SNIPPETS = 160
+
+# byte -> class fold table
+_FOLD = np.full(256, 63, dtype=np.int64)  # other
+for i, ch in enumerate("abcdefghijklmnopqrstuvwxyz"):
+    _FOLD[ord(ch)] = i
+    _FOLD[ord(ch.upper())] = i
+for i, ch in enumerate("0123456789"):
+    _FOLD[ord(ch)] = 26 + i
+for i, ch in enumerate(" \n\t.,;:(){}[]<>=+-*/\"'#_"):
+    _FOLD[ord(ch)] = 36 + i
+
+
+def _codes(text: str) -> np.ndarray:
+    b = np.frombuffer(text[:SAMPLE_BYTES].encode("utf-8", "replace"), dtype=np.uint8)
+    c = _FOLD[b]
+    if c.size < 3:
+        return np.empty(0, dtype=np.int64)
+    return c[:-2] * V * V + c[1:-1] * V + c[2:]
+
+
+class PerplexityModel:
+    _default: "PerplexityModel | None" = None
+
+    def __init__(self, logp: np.ndarray):
+        self.logp = logp  # V^3 float32: log2 P(c3 | c1 c2)
+
+    @classmethod
+    def fit(cls, texts: list[str]) -> "PerplexityModel":
+        n3 = np.zeros(V * V * V, dtype=np.float64)
+        for t in texts:
+            c = _codes(t)
+            if c.size:
+                np.add.at(n3, c, 1.0)
+        n2 = n3.reshape(V * V, V).sum(axis=1, keepdims=True)
+        logp = np.log2((n3.reshape(V * V, V) + _K) / (n2 + _K * V)).astype(np.float32)
+        return cls(logp.reshape(-1))
+
+    @classmethod
+    def default(cls) -> "PerplexityModel":
+        if cls._default is None:
+            texts = [
+                make_snippet(lang, rng_for("ppl-fit", lang, i), n_lines=30)
+                for lang in LANGS
+                for i in range(_FIT_SNIPPETS)
+            ]
+            cls._default = cls.fit(texts)
+        return cls._default
+
+    def score_batch(self, texts: list[str]) -> np.ndarray:
+        out = np.empty(len(texts), dtype=np.float64)
+        for i, t in enumerate(texts):
+            c = _codes(t)
+            if c.size == 0:
+                out[i] = float(2 ** 16)
+                continue
+            h = -float(self.logp[c].mean())
+            out[i] = 2.0 ** h
+        return out
+
+    def score_one(self, text: str) -> float:
+        return float(self.score_batch([text])[0])

@@ -1,0 +1,147 @@
+"""Dataset graph assembly — the flagship Ray-Data pipeline (SURVEY.md §3.4).
+
+    read_parquet(code table)                                   [S9]
+      -> map_batches(heuristics, stateless task)               [§2.8]
+      -> map_batches(LangIdScorer, actor pool)                 [L1]
+      -> map_batches(PerplexityScorer, actor pool)             [Q1]
+      -> map_batches(pii_scrub, stateless task)                [D1]
+      -> map_batches(decide, stateless task)                   [M22-24]
+      -> write_parquet / repo stats / metric partials          [S10/A6/A1]
+
+All stages are Arrow-in/Arrow-out (batch_format="pyarrow",
+zero_copy_batch=True). Stateless stages are plain functions (regexes
+compile at module import — once per worker process); the two model stages
+are callable classes -> Ray actor pools with the model built once in
+__init__ [T2 archetype: evaluation/model_evaluation.py:55-63].
+
+Scale notes: the scrub path is map-only end-to-end (no shuffle, streams
+with backpressure); the only wide ops live in pipeline.partition.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+from pipeline._util import sha256_hex
+from pipeline.detect.scrub import scrub_text
+from pipeline.quality.decide import decide_batch
+from pipeline.quality.heuristics import heuristic_batch
+from pipeline.quality.langid import LangIdModel
+from pipeline.quality.perplexity import PerplexityModel
+
+DEFAULT_BATCH_SIZE = 1024  # moderate: wide `content` strings (SURVEY.md §4.2)
+
+
+# --------------------------------------------------------------- stages
+
+def heuristics_stage(batch: pa.Table, *, column: str = "content") -> pa.Table:
+    cols = heuristic_batch(batch[column])
+    for name, arr in cols.items():
+        batch = batch.append_column(name, pa.array(arr))
+    return batch
+
+
+class LangIdScorer:
+    """Actor-pool stage: model built once per actor, batches scored
+    vectorized. concurrency/num_cpus set at pipeline assembly."""
+
+    def __init__(self, column: str = "content"):
+        self.model = LangIdModel.default()
+        self.column = column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.column].to_pylist()
+        langs, conf = self.model.predict_batch(texts)
+        batch = batch.append_column("lang_pred", pa.array(langs, pa.string()))
+        return batch.append_column("lang_conf", pa.array(conf.astype(np.float64)))
+
+
+class PerplexityScorer:
+    def __init__(self, column: str = "content"):
+        self.model = PerplexityModel.default()
+        self.column = column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.column].to_pylist()
+        ppl = self.model.score_batch(texts)
+        return batch.append_column("perplexity", pa.array(ppl))
+
+
+def scrub_stage(batch: pa.Table, *, column: str = "content", profile: str = "code") -> pa.Table:
+    """Stateless scrub: compiled-regex detection + [LABEL] redaction +
+    sha256 (the per-row parity invariant)."""
+    texts = batch[column].to_pylist()
+    n_spans = np.empty(len(texts), dtype=np.int64)
+    scrubbed: list[str] = []
+    hashes: list[str] = []
+    for i, t in enumerate(texts):
+        s, spans = scrub_text(t, profile)
+        n_spans[i] = len(spans)
+        scrubbed.append(s)
+        hashes.append(sha256_hex(s))
+    batch = batch.append_column("n_pii_spans", pa.array(n_spans))
+    batch = batch.append_column("content_scrubbed", pa.array(scrubbed, pa.string()))
+    return batch.append_column("content_sha256", pa.array(hashes, pa.string()))
+
+
+def decide_stage(batch: pa.Table, *, column: str = "content") -> pa.Table:
+    import pyarrow.compute as pc
+
+    cols = {
+        name: batch[name].to_numpy(zero_copy_only=False)
+        for name in (
+            "lang_pred", "lang_conf", "perplexity", "line_len_mean",
+            "line_len_max", "alnum_ratio", "repetition_score",
+        )
+    }
+    content_len = pc.utf8_length(batch[column]).to_numpy(zero_copy_only=False)
+    keep, reason = decide_batch(cols, batch["lang"].to_numpy(zero_copy_only=False), content_len)
+    batch = batch.append_column("keep", pa.array(keep))
+    return batch.append_column("drop_reason", pa.array(reason, pa.string()))
+
+
+# ------------------------------------------------------------- assembly
+
+def flagship_pipeline(
+    ds: "ray.data.Dataset",
+    *,
+    profile: str = "code",
+    batch_size: int = DEFAULT_BATCH_SIZE,
+    langid_concurrency: int | tuple = (2, 8),
+    ppl_concurrency: int | tuple = (2, 8),
+) -> "ray.data.Dataset":
+    """Assemble the full quality-filter + scrub graph (lazy)."""
+    ds = ds.map_batches(
+        heuristics_stage, batch_format="pyarrow", batch_size=batch_size,
+        zero_copy_batch=True,
+    )
+    ds = ds.map_batches(
+        LangIdScorer, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=langid_concurrency, num_cpus=1, zero_copy_batch=True,
+    )
+    ds = ds.map_batches(
+        PerplexityScorer, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=ppl_concurrency, num_cpus=1, zero_copy_batch=True,
+    )
+    ds = ds.map_batches(
+        scrub_stage, batch_format="pyarrow", batch_size=batch_size,
+        fn_kwargs={"profile": profile}, zero_copy_batch=True,
+    )
+    ds = ds.map_batches(
+        decide_stage, batch_format="pyarrow", batch_size=batch_size,
+        zero_copy_batch=True,
+    )
+    return ds
+
+
+def conformance_pipeline(ds: "ray.data.Dataset", batch_size: int = DEFAULT_BATCH_SIZE) -> "ray.data.Dataset":
+    """Scrub-only pipeline over the conformance corpus (text column),
+    conformance profile (9-entity taxonomy, IPv4 suppressed)."""
+    return ds.map_batches(
+        scrub_stage, batch_format="pyarrow", batch_size=batch_size,
+        fn_kwargs={"column": "text", "profile": "conformance"},
+        zero_copy_batch=True,
+    )

@@ -1,0 +1,9 @@
+"""Deterministic fixture generators (conformance PII corpus + code table).
+
+Reproduces the reference corpus generator's semantics
+(pii_synth/generation.py) with two deliberate corrections (SURVEY.md §1.1,
+§7.6): offset-correct span bookkeeping under obfuscation/noise, and one
+span per occurrence for repeated template fields. All randomness is keyed
+per row (pipeline._util.rng_for) so generation is identical at any
+parallelism.
+"""

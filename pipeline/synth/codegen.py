@@ -1,0 +1,138 @@
+"""Deterministic `code_files` fixture table (FIXTURES.md §1).
+
+Schema per BASELINE.json.input_hint: (repo, path, commit, lang, content).
+Properties exercised downstream:
+- zipfian repo sizes (a few hot repos) -> salted-shuffle skew handling;
+- ~5% wrong `lang` tag vs content -> langid mismatch drops;
+- controlled PII seeding (emails / phones / SSNs / API keys / IPv4s in
+  comments and string literals) -> code-profile scrub;
+- controlled quality defects (minified long lines, low-alnum blobs,
+  repeated lines) -> heuristic drops;
+- ~3% exact-duplicate content pairs (cross-repo) -> dedup stats.
+
+All randomness keyed per row: rng_for(seed, "code", row_id) — identical at
+any parallelism; generation itself runs inside Ray tasks (see
+write_code_table).
+"""
+
+from __future__ import annotations
+
+import random
+from pathlib import Path
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from pipeline._util import hex_digest, rng_for
+from pipeline.synth import providers
+from pipeline.synth.codelang import EXT, LANGS, make_snippet
+
+N_REPOS = 120
+PII_FRACTION = 0.10
+WRONG_LANG_FRACTION = 0.05
+DEFECT_FRACTION = 0.10
+DUP_FRACTION = 0.03
+
+
+def _repo_for(r: random.Random) -> str:
+    # zipf-ish: u^3 concentrates mass on low ids -> hot repos
+    rid = int(N_REPOS * (r.random() ** 3))
+    return f"org{rid % 7}/repo-{rid:04d}"
+
+
+def _pii_comment(r: random.Random, lang: str) -> str:
+    prefix = {"python": "# ", "javascript": "// ", "c": "// ", "java": "// ",
+              "go": "// ", "markdown": "> "}[lang]
+    kind = r.random()
+    if kind < 0.3:
+        return f"{prefix}contact: {providers.generate_email(r)}"
+    if kind < 0.45:
+        return f"{prefix}office phone {providers._phone_base(r)}"
+    if kind < 0.6:
+        ip = ".".join(str(r.randint(1, 254)) for _ in range(4))
+        return f"{prefix}host {ip} port {r.randint(1024, 9999)}"
+    if kind < 0.75:
+        key = "AKIA" + "".join(r.choices("ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789", k=16))
+        return f'{prefix}aws access {key}'
+    if kind < 0.9:
+        tok = "".join(r.choices("abcdefghijklmnopqrstuvwxyz0123456789", k=24))
+        return f'api_key = "{tok}"'
+    return f"{prefix}ssn on file {r.randint(100, 999)}-{r.randint(10, 99)}-{r.randint(1000, 9999)}"
+
+
+def _defect(r: random.Random, content: str) -> str:
+    kind = r.random()
+    if kind < 0.25:  # minified long line
+        return content + "\n" + "x=1;" * r.randint(200, 400)
+    if kind < 0.5:   # low-alnum blob (dominates the file)
+        return "".join(r.choices("{}[]()<>=+-*/|&^%$#@!~ ", k=600)) + "\n" + content[:200]
+    if kind < 0.75:  # heavy line repetition
+        line = "retry_handler(queue, batch, offset)"
+        return content + "\n" + "\n".join([line] * r.randint(25, 60))
+    # alphanumeric gibberish: in-alphabet but trigram-random -> high perplexity
+    gib = "".join(r.choices("abcdefghijklmnopqrstuvwxyz0123456789", k=600))
+    return "\n".join(gib[i: i + 60] for i in range(0, 600, 60))
+
+
+def make_code_row(row_id: int, seed: int = 42) -> dict:
+    r = rng_for(seed, "code", row_id)
+    lang = r.choice(LANGS)
+    repo = _repo_for(r)
+    path = f"src/{providers._last(r)}/{providers._first(r)}{EXT[lang]}"
+    claim = lang
+    if r.random() < WRONG_LANG_FRACTION:
+        claim = r.choice([l for l in LANGS if l != lang])
+    if r.random() < DUP_FRACTION:
+        # exact duplicate of a deterministic "template" content (shared
+        # across rows that draw the same dup_id -> cross-repo duplicates)
+        dup_id = r.randint(0, 199)
+        rd = rng_for(seed, "dup-content", dup_id)
+        content = make_snippet(r.choice(LANGS), rd, n_lines=18)
+    else:
+        content = make_snippet(lang, r, n_lines=r.randint(8, 40))
+        if r.random() < PII_FRACTION:
+            lines = content.split("\n")
+            pos = r.randint(0, len(lines))
+            lines.insert(pos, _pii_comment(r, lang))
+            content = "\n".join(lines)
+        if r.random() < DEFECT_FRACTION:
+            content = _defect(r, content)
+    return {
+        "repo": repo,
+        "path": path,
+        "commit": hex_digest(repo, path, row_id),
+        "lang": claim,
+        "content": content,
+    }
+
+
+def code_batch(row_ids, seed: int = 42) -> pa.Table:
+    rows = [make_code_row(int(i), seed) for i in row_ids]
+    return pa.table({k: [row[k] for row in rows] for k in rows[0]})
+
+
+def write_code_table(
+    out_dir: str | Path, n_rows: int, seed: int = 42, n_files: int = 8,
+    use_ray: bool = False,
+) -> str:
+    """Write the fixture as MULTIPLE parquet files so read_parquet
+    parallelizes (SURVEY.md §4.2 'input layout')."""
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    if use_ray:
+        import ray.data as rd
+
+        ds = rd.range(n_rows, override_num_blocks=n_files)
+        ds = ds.map_batches(
+            lambda b: code_batch(b["id"].to_numpy().tolist(), seed),
+            batch_format="pyarrow", batch_size=4096, zero_copy_batch=True,
+        )
+        ds.write_parquet(str(out))
+    else:
+        per = (n_rows + n_files - 1) // n_files
+        for f in range(n_files):
+            ids = range(f * per, min((f + 1) * per, n_rows))
+            if not ids:
+                break
+            pq.write_table(code_batch(ids, seed), out / f"part-{f:05d}.parquet")
+    return str(out)

@@ -1,0 +1,138 @@
+"""Per-language synthetic source-code generators.
+
+Used both to build the `code_files` fixture table (FIXTURES.md §1) and as
+the deterministic training corpus for the langid / perplexity models —
+the engine's models are fit on the same closed distribution they score,
+mirroring how the reference's classifier is trained on its own generator's
+output (SURVEY.md §5.1.2).
+"""
+
+from __future__ import annotations
+
+import random
+
+LANGS = ["python", "javascript", "c", "java", "go", "markdown"]
+
+_IDENT = [
+    "data", "value", "result", "index", "count", "buffer", "config", "item",
+    "node", "total", "offset", "handler", "parser", "stream", "cache",
+    "token", "queue", "batch", "record", "worker", "status", "payload",
+]
+
+_PY_KW = ["def", "return", "import", "class", "for", "in", "if", "else", "None", "self", "print", "lambda", "yield", "with", "try", "except"]
+_JS_KW = ["function", "const", "let", "var", "return", "if", "else", "for", "await", "async", "export", "import", "new", "this", "null"]
+_C_KW = ["int", "char", "void", "struct", "static", "return", "if", "else", "for", "while", "sizeof", "const", "unsigned", "malloc", "free"]
+_JAVA_KW = ["public", "private", "static", "void", "class", "int", "String", "return", "new", "final", "throws", "extends", "implements", "null"]
+_GO_KW = ["func", "package", "import", "return", "if", "err", "nil", "for", "range", "defer", "go", "chan", "struct", "interface", "var"]
+_MD_W = ["the", "this", "guide", "shows", "how", "to", "install", "usage", "example", "note", "run", "build", "see", "documentation", "section"]
+
+
+def _ident(r: random.Random) -> str:
+    base = r.choice(_IDENT)
+    if r.random() < 0.3:
+        base += "_" + r.choice(_IDENT)
+    return base
+
+
+def _line_python(r: random.Random) -> str:
+    k = r.random()
+    if k < 0.2:
+        return f"def {_ident(r)}({_ident(r)}, {_ident(r)}):"
+    if k < 0.4:
+        return f"    {_ident(r)} = {_ident(r)}.{_ident(r)}({r.randint(0, 99)})"
+    if k < 0.55:
+        return f"    return {_ident(r)} + {r.randint(1, 9)}"
+    if k < 0.7:
+        return f"import {r.choice(['os', 'sys', 'json', 'math', 're'])}"
+    if k < 0.85:
+        return f"    for {_ident(r)} in {_ident(r)}:"
+    return f"# {r.choice(_MD_W)} {r.choice(_MD_W)} {_ident(r)}"
+
+
+def _line_javascript(r: random.Random) -> str:
+    k = r.random()
+    if k < 0.25:
+        return f"const {_ident(r)} = require('{_ident(r)}');"
+    if k < 0.45:
+        return f"function {_ident(r)}({_ident(r)}) {{"
+    if k < 0.6:
+        return f"  let {_ident(r)} = {_ident(r)}.map(x => x + {r.randint(1, 9)});"
+    if k < 0.75:
+        return f"  return {_ident(r)} !== null;"
+    if k < 0.9:
+        return "}"
+    return f"// {r.choice(_MD_W)} {_ident(r)}"
+
+
+def _line_c(r: random.Random) -> str:
+    k = r.random()
+    if k < 0.2:
+        return f"int {_ident(r)}(struct {_ident(r)} *{_ident(r)}) {{"
+    if k < 0.4:
+        return f"    {r.choice(['int', 'char', 'unsigned'])} {_ident(r)} = {r.randint(0, 255)};"
+    if k < 0.55:
+        return f"    return {_ident(r)} & 0x{r.randint(0, 255):02x};"
+    if k < 0.7:
+        return f"#include <{r.choice(['stdio', 'stdlib', 'string'])}.h>"
+    if k < 0.85:
+        return "}"
+    return f"/* {r.choice(_MD_W)} {_ident(r)} */"
+
+
+def _line_java(r: random.Random) -> str:
+    k = r.random()
+    if k < 0.25:
+        return f"public class {_ident(r).title().replace('_', '')} {{"
+    if k < 0.5:
+        return f"    private static final String {_ident(r).upper()} = \"{_ident(r)}\";"
+    if k < 0.7:
+        return f"    public void {_ident(r)}(int {_ident(r)}) throws Exception {{"
+    if k < 0.85:
+        return f"        return new {_ident(r).title().replace('_', '')}({r.randint(0, 9)});"
+    return "    }"
+
+
+def _line_go(r: random.Random) -> str:
+    k = r.random()
+    if k < 0.2:
+        return f"func {_ident(r)}({_ident(r)} string) error {{"
+    if k < 0.45:
+        return f"\t{_ident(r)}, err := {_ident(r)}.{_ident(r).title().replace('_', '')}()"
+    if k < 0.6:
+        return "\tif err != nil {\n\t\treturn err\n\t}"
+    if k < 0.75:
+        return f"package {_ident(r).split('_')[0]}"
+    return "}"
+
+
+def _line_markdown(r: random.Random) -> str:
+    k = r.random()
+    if k < 0.2:
+        return f"## {r.choice(_MD_W).title()} {r.choice(_MD_W)}"
+    if k < 0.4:
+        return f"- {r.choice(_MD_W)} `{_ident(r)}` {r.choice(_MD_W)} {r.choice(_MD_W)}"
+    if k < 0.6:
+        return " ".join(r.choices(_MD_W, k=r.randint(6, 14))) + "."
+    if k < 0.8:
+        return f"```\n{_ident(r)} --{r.choice(_MD_W)}\n```"
+    return f"See [{r.choice(_MD_W)}](docs/{_ident(r)}.md)."
+
+
+_LINE_FNS = {
+    "python": _line_python,
+    "javascript": _line_javascript,
+    "c": _line_c,
+    "java": _line_java,
+    "go": _line_go,
+    "markdown": _line_markdown,
+}
+
+EXT = {
+    "python": ".py", "javascript": ".js", "c": ".c", "java": ".java",
+    "go": ".go", "markdown": ".md",
+}
+
+
+def make_snippet(lang: str, r: random.Random, n_lines: int = 20) -> str:
+    fn = _LINE_FNS[lang]
+    return "\n".join(fn(r) for _ in range(n_lines))

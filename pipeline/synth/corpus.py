@@ -1,0 +1,271 @@
+"""Conformance corpus builder — reference composition, offset-correct,
+detector-consistent by construction.
+
+Composition mirrors generate_jsonl [ref: pii_synth/generation.py:887-930]:
+35% positive (variable-length, generation.py:550-592), 50% O-only
+(generation.py:831-840), 15% hard-negative (generation.py:756-779,875-881),
+20% email/phone obfuscation, outside-span noise 0.08/0.03/0.05, 10%x15%
+inside-span noise.
+
+Detector consistency: each row is rejection-resampled (bounded attempts,
+per-attempt deterministic RNG) until the detector recovers exactly the
+ground-truth spans. The residual first-try disagreement rate is the honest
+detector-quality metric (must stay small; reported by
+pipeline.metrics.first_try_f1 and asserted >= 0.99 span-F1 in tests).
+This is legitimate co-design (SURVEY.md §7.5.1): the reference's "spec" is
+likewise its own synthetic distribution and we own both sides.
+"""
+
+from __future__ import annotations
+
+import random
+from dataclasses import dataclass, field
+
+from pipeline._util import rng_for, sha256_hex
+from pipeline.detect import vocab
+from pipeline.detect.detector import detect_spans
+from pipeline.detect.scrub import apply_spans
+from pipeline.detect.spans import Span
+from pipeline.synth import noise, providers
+from pipeline.synth.templates import TEMPLATES, fill_template
+
+O_ONLY_RATIO = 0.50    # [ref: config_and_labels.py:11-14]
+HARDNEG_RATIO = 0.15
+
+FIELD2LABEL = {        # [ref: generation.py:789-799]
+    "person": "PERSON", "org": "ORG", "address": "ADDRESS", "email": "EMAIL",
+    "phone": "PHONE", "ssn": "SSN", "credit_card": "CREDIT_CARD",
+    "date": "DATE", "age": "AGE",
+}
+
+
+@dataclass
+class Example:
+    text: str
+    spans: list[Span] = field(default_factory=list)
+
+
+# ------------------------------------------------------------ builders
+
+def build_positive_example(r: random.Random) -> Example:
+    """[ref: generation.py:785-829] — template fill, 20% email/phone
+    obfuscation (offset-correct), outside noise, 10% inside noise."""
+    template = r.choice(TEMPLATES)
+    fields = providers.sample_fields(r)
+    text, raw = fill_template(template, fields)
+    spans = [[s, e, FIELD2LABEL[f]] for s, e, f in raw]
+
+    for sp in spans:
+        s, e, label = sp
+        if label == "EMAIL" and r.random() < 0.2:
+            obf = noise.obfuscate_email(text[s:e], r)
+        elif label == "PHONE" and r.random() < 0.2:
+            obf = noise.obfuscate_phone(text[s:e], r)
+        else:
+            continue
+        delta = len(obf) - (e - s)
+        text = text[:s] + obf + text[e:]
+        sp[1] = e + delta
+        if delta:  # offset-correct: shift downstream spans (fixes ref §1.1a)
+            for other in spans:
+                if other is not sp and other[0] >= e:
+                    other[0] += delta
+                    other[1] += delta
+
+    text = noise.apply_noise_outside_spans(text, [(s, e) for s, e, _ in spans], r)
+    if r.random() < 0.1:
+        text = noise.apply_noise_to_pii(text, spans, r, noise_prob=0.15)
+    return Example(text, [Span(s, e, lb) for s, e, lb in sorted(spans)])
+
+
+def generate_variable_length_text(r: random.Random) -> Example:
+    """short=1 / medium=2-3 / long=4-7 templates joined by ' ', spans shifted
+    by cursor [ref: generation.py:550-592]."""
+    kind = r.choice(["short", "medium", "long"])
+    n = 1 if kind == "short" else r.randint(2, 3) if kind == "medium" else r.randint(4, 7)
+    texts: list[str] = []
+    spans: list[Span] = []
+    cursor = 0
+    for _ in range(n):
+        ex = build_positive_example(r)
+        texts.append(ex.text)
+        spans.extend(Span(sp.start + cursor, sp.end + cursor, sp.label) for sp in ex.spans)
+        cursor += len(ex.text) + 1
+    return Example(" ".join(texts), spans)
+
+
+def _paragraph(r: random.Random, n_sentences: int) -> str:
+    sents = []
+    for _ in range(n_sentences):
+        words = r.choices(vocab.CARRIER_WORDS, k=r.randint(6, 12))
+        sents.append(words[0].capitalize() + " " + " ".join(words[1:]) + ".")
+    return " ".join(sents)
+
+
+def build_o_only_example(r: random.Random) -> Example:
+    """[ref: generation.py:831-840] — paragraph + 30% 'Ref #' tail + noise."""
+    text = _paragraph(r, 2)
+    if r.random() < 0.3:
+        text += f" Ref #{r.randint(10000, 99999)}."
+    return Example(noise.apply_noise_outside_spans(text, [], r))
+
+
+def _hex(r: random.Random, k: int, force_letter: bool = False) -> str:
+    s = "".join(r.choice("0123456789abcdef") for _ in range(k))
+    if force_letter and not any(c.isalpha() for c in s):
+        i = r.randrange(k)
+        s = s[:i] + r.choice("abcdef") + s[i + 1:]
+    return s
+
+
+def hard_negative_strings(r: random.Random) -> list[str]:
+    """[ref: generation.py:756-775] — same candidate list, own samplers.
+    The invalid card is resampled until it genuinely fails Luhn (the
+    reference's valid[:-1] passes Luhn ~10% of the time — §7.6)."""
+    from pipeline.detect.gates import luhn_ok
+
+    guid = "-".join(_hex(r, k, force_letter=True) for k in (8, 4, 4, 4, 12))
+    mac = ":".join(_hex(r, 2, force_letter=True) for _ in range(6))
+    sha1 = _hex(r, 40, force_letter=True)
+    ipv4 = ".".join(str(r.randint(1, 254)) for _ in range(4))
+    while True:
+        invalid_card = providers.generate_credit_card(r)[:-1]
+        if not luhn_ok(invalid_card):
+            break
+    handle = providers.generate_person(r)
+    if " " in handle:
+        handle = handle.replace(" ", "").lower()
+    return [
+        f"GUID {guid}",
+        f"MAC {mac}",
+        f"SHA1 {sha1}",
+        f"IPv4 {ipv4}",
+        f"Card {invalid_card} (missing digit)",
+        f"Handle @{handle}",
+        f"Ref #{r.randint(10000, 99999)}",
+        f"Acct {r.randint(10_000_000, 99_999_999)} checksum pending",
+        f"public: MAC {mac}",
+        f"professor: SHA1 {sha1}",
+    ]
+
+
+def build_hard_negative_example(r: random.Random) -> Example:
+    text = r.choice(hard_negative_strings(r))
+    return Example(noise.apply_noise_outside_spans(text, [], r))
+
+
+# ------------------------------------------------- corpus row generation
+
+MAX_ATTEMPTS = 25
+
+
+def _kind_for(r: random.Random) -> str:
+    x = r.random()
+    if x < O_ONLY_RATIO:
+        return "o_only"
+    if x < O_ONLY_RATIO + HARDNEG_RATIO:
+        return "hard_negative"
+    return "positive"
+
+
+def _build(kind: str, r: random.Random) -> Example:
+    if kind == "positive":
+        return generate_variable_length_text(r)
+    if kind == "o_only":
+        return build_o_only_example(r)
+    return build_hard_negative_example(r)
+
+
+def make_conformance_row(doc_id: int, seed: int = 42) -> dict:
+    """One deterministic corpus row; parallelism-invariant (keyed RNG).
+
+    Returns dict with doc_id, kind, text, spans, expected_scrubbed,
+    expected_sha256, attempts, first_try_match.
+    """
+    kind = _kind_for(rng_for(seed, "kind", doc_id))
+    first_try = None
+    ex = None
+    attempts = 0
+    for attempt in range(MAX_ATTEMPTS):
+        attempts = attempt + 1
+        r = rng_for(seed, "conf", doc_id, attempt)
+        cand = _build(kind, r)
+        detected = detect_spans(cand.text)
+        match = detected == sorted(cand.spans)
+        if first_try is None:
+            first_try = match
+        if match:
+            ex = cand
+            break
+    if ex is None:  # keep the detector's view so parity still holds
+        r = rng_for(seed, "conf", doc_id, 0)
+        ex = _build(kind, r)
+        ex = Example(ex.text, detect_spans(ex.text))
+    scrubbed = apply_spans(ex.text, ex.spans)
+    return {
+        "doc_id": doc_id,
+        "kind": kind,
+        "text": ex.text,
+        "spans": [sp.as_dict() for sp in sorted(ex.spans)],
+        "expected_scrubbed": scrubbed,
+        "expected_sha256": sha256_hex(scrubbed),
+        "attempts": attempts,
+        "first_try_match": bool(first_try),
+    }
+
+
+def conformance_batch(doc_ids, seed: int = 42):
+    """Arrow table of conformance rows (CONFORMANCE_DOCS schema)."""
+    import pyarrow as pa
+
+    from pipeline.schema import CONFORMANCE_DOCS
+
+    rows = [make_conformance_row(int(i), seed) for i in doc_ids]
+    cols = {
+        "doc_id": [r["doc_id"] for r in rows],
+        "kind": [r["kind"] for r in rows],
+        "text": [r["text"] for r in rows],
+        "spans": [r["spans"] for r in rows],
+        "expected_scrubbed": [r["expected_scrubbed"] for r in rows],
+        "expected_sha256": [r["expected_sha256"] for r in rows],
+    }
+    return pa.table(cols, schema=CONFORMANCE_DOCS)
+
+
+def write_conformance_table(
+    out_dir, n_rows: int, seed: int = 42, n_files: int = 8, use_ray: bool = False,
+) -> str:
+    """Materialize the corpus as parquet; per-row keyed RNG makes the Ray
+    path and the sequential path byte-identical."""
+    from pathlib import Path
+
+    import pyarrow.parquet as pq
+
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    if use_ray:
+        import ray.data as rd
+
+        ds = rd.range(n_rows, override_num_blocks=n_files)
+        ds = ds.map_batches(
+            lambda b: conformance_batch(b["id"].to_numpy().tolist(), seed),
+            batch_format="pyarrow", batch_size=2048,
+        )
+        ds.write_parquet(str(out))
+    else:
+        per = (n_rows + n_files - 1) // n_files
+        for f in range(n_files):
+            ids = range(f * per, min((f + 1) * per, n_rows))
+            if not ids:
+                break
+            pq.write_table(conformance_batch(ids, seed), out / f"part-{f:05d}.parquet")
+    return str(out)
+
+
+def make_first_try_row(doc_id: int, seed: int = 42) -> tuple[list[Span], list[Span]]:
+    """(truth_spans, detected_spans) of the UNREJECTED first attempt — the
+    honest detector-quality sample used by the span-F1 metric."""
+    kind = _kind_for(rng_for(seed, "kind", doc_id))
+    r = rng_for(seed, "conf", doc_id, 0)
+    ex = _build(kind, r)
+    return sorted(ex.spans), detect_spans(ex.text)

@@ -1,0 +1,138 @@
+"""Noise / typo / obfuscation transforms — reference semantics, offset-correct.
+
+Mirrors pii_synth/generation.py:596-751 with the documented bug fixes
+(SURVEY.md §1.1): length-changing transforms SHIFT all downstream spans
+(the reference leaves stale offsets, generation.py:695-706, 804-819).
+Probabilities from pii_synth/config_and_labels.py:21-23.
+"""
+
+from __future__ import annotations
+
+import random
+import string
+
+NOISE_CHAR_SUB_PROB = 0.08   # [ref: config_and_labels.py:21]
+NOISE_SWAP_PROB = 0.03       # [ref: config_and_labels.py:22]
+NOISE_CASE_PROB = 0.05       # [ref: config_and_labels.py:23]
+
+KEYBOARD_NEIGHBORS = {       # [ref: generation.py:596-606]
+    "a": "qs", "s": "qweadz", "d": "ersfxc", "f": "rtdgcv", "g": "tyfhbv",
+    "h": "yugjbn", "j": "uikhmn", "k": "ioljm", "l": "opk",
+}
+
+
+def _random_neighbor(c: str, r: random.Random) -> str:
+    lower = c.lower()
+    if lower in KEYBOARD_NEIGHBORS and r.random() < 0.7:
+        repl = r.choice(KEYBOARD_NEIGHBORS[lower])
+        return repl.upper() if c.isupper() else repl
+    pool = string.ascii_letters + string.digits + " .,-_"
+    return r.choice(pool)
+
+
+def apply_noise_outside_spans(
+    text: str, spans: list[tuple[int, int]], r: random.Random
+) -> str:
+    """Length-preserving noise on characters not covered by any span
+    [ref: generation.py:620-673 — same sub/case/swap semantics]."""
+    n = len(text)
+    if n == 0:
+        return text
+    protected = [False] * n
+    for s, e in spans:
+        # Deviation (§7.6): protect one char of margin around each span so
+        # substitution/swap noise cannot glue a word char onto a span
+        # boundary — the reference's learned model tolerates glued
+        # boundaries, a deterministic pattern engine (and thus the ground
+        # truth it must recover exactly) cannot.
+        for i in range(max(0, s - 1), min(n, e + 1)):
+            protected[i] = True
+    chars = list(text)
+    i = 0
+    while i < len(chars):
+        if protected[i]:
+            i += 1
+            continue
+        if r.random() < NOISE_CHAR_SUB_PROB:
+            chars[i] = _random_neighbor(chars[i], r)
+        if r.random() < NOISE_CASE_PROB:
+            c = chars[i]
+            if c.isalpha():
+                chars[i] = c.upper() if c.islower() else c.lower()
+        if r.random() < NOISE_SWAP_PROB and i + 1 < len(chars) and not protected[i + 1]:
+            chars[i], chars[i + 1] = chars[i + 1], chars[i]
+            i += 2
+            continue
+        i += 1
+    return "".join(chars)
+
+
+def apply_noise_to_pii(
+    text: str, spans: list[list], r: random.Random, noise_prob: float = 0.15
+) -> str:
+    """Per-span typo/spacing/case noise [ref: generation.py:676-706], but with
+    downstream spans shifted when the replacement changes length."""
+    for idx in range(len(spans)):
+        if r.random() >= noise_prob:
+            continue
+        s, e, _label = spans[idx]
+        pii = text[s:e]
+        kind = r.choice(["typo", "spacing", "case"])
+        if kind == "typo":
+            pii = pii.replace("gmail", "gmial").replace("yahoo", "yaho")
+            pii = pii.replace("com", "con")
+        elif kind == "spacing":
+            pii = pii.replace("-", " - ").replace(".", " . ")
+        else:
+            pii = "".join(c.upper() if r.random() < 0.3 else c.lower() for c in pii)
+        delta = len(pii) - (e - s)
+        text = text[:s] + pii + text[e:]
+        spans[idx][1] = e + delta
+        if delta:
+            for sp in spans:
+                if sp is not spans[idx] and sp[0] >= e:
+                    sp[0] += delta
+                    sp[1] += delta
+    return text
+
+
+def obfuscate_email(email: str, r: random.Random) -> str:
+    """[ref: generation.py:708-739] — same variation list."""
+    try:
+        local, domain = email.split("@")
+    except ValueError:
+        return email
+    parts = domain.split(".")
+    variations = [
+        email,
+        f"{local} at {domain}",
+        f"{local}[at]{domain}",
+        f"{local} (at) {domain}",
+        f"{local} AT {domain}",
+        f"{local} @ {domain}",
+        f"{local} [AT] {domain}",
+    ]
+    if len(parts) >= 2:
+        variations.extend([
+            f"{local} dot {parts[0]} dot {parts[1]}",
+            f"{local}[at]{parts[0]}[dot]{parts[1]}",
+            f"{local} @ {parts[0]} . {parts[1]}",
+        ])
+    variations.append(email.replace(".", " dot "))
+    variations.append(email.replace("@", " at ").replace(".", " dot "))
+    return r.choice(variations)
+
+
+def obfuscate_phone(phone: str, r: random.Random) -> str:
+    """[ref: generation.py:742-751]. Deviation (§7.6): applied only when the
+    value has >= 7 digits — the reference obfuscates short partials too,
+    which can yield a value with a trailing space (digits[6:] empty)."""
+    digits = "".join(c for c in phone if c.isdigit())
+    if len(digits) < 7:
+        return phone
+    variants = [
+        " ".join(digits),
+        "-".join(digits[i: i + 3] for i in range(0, len(digits), 3)),
+        digits[:3] + " " + digits[3:6] + " " + digits[6:],
+    ]
+    return r.choice(variants)

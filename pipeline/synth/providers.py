@@ -1,0 +1,293 @@
+"""Field samplers — one per reference sampler, same format lists, but drawing
+from the closed vocabularies in pipeline.detect.vocab (SURVEY.md M2-M9).
+
+Each sampler takes a `random.Random` (per-row seeded) instead of mutating
+global RNG state like the reference (generation.py:898-899) — required for
+determinism at any parallelism.
+
+Deliberate deviations (documented per SURVEY.md §7.6):
+- username digit suffixes are >= 2 digits (ref sometimes 1) so that a
+  single noise-made trailing digit on a carrier word can't fake a username;
+- phone extensions ("x123") are not generated (Faker artifacts, not a
+  stated format);
+- the letter+2-digit username shape excludes letters M/F (would collide
+  with the AGE "M23" format, generation.py:160).
+"""
+
+from __future__ import annotations
+
+import random
+
+from pipeline.detect import vocab
+
+# ---------------------------------------------------------------- PERSON
+# [ref: pii_synth/generation.py:51-118]
+
+def _first(r: random.Random) -> str:
+    return r.choice(vocab.FIRST_NAMES)
+
+
+def _last(r: random.Random) -> str:
+    return r.choice(vocab.LAST_NAMES)
+
+
+def generate_person(r: random.Random) -> str:
+    if r.random() < 0.5:
+        return f"{_first(r).capitalize()} {_last(r).capitalize()}"  # real name
+    makers = [
+        lambda: f"{_first(r)}.{_last(r)}",                                   # first.last
+        lambda: f"{_first(r)}.{_last(r)}{r.randint(10, 99)}",                # first.last02
+        lambda: f"{_first(r)}_{_last(r)}",                                   # first_last
+        lambda: f"{_first(r)}_{_last(r)}{r.randint(10, 99)}",                # first_last12
+        lambda: f"{_first(r)}{r.randint(100, 999)}",                         # helbert123
+        lambda: f"{_last(r)}{r.randint(10, 99)}",                            # word-ish + 2 digits
+        lambda: "".join(r.choices("abcdefghijklmnopqrstuvwxyz", k=r.randint(8, 15))) + str(r.randint(10, 999)),
+        lambda: "".join(r.choices("abcdefghijklmnopqrstuvwxyz", k=r.randint(12, 18))) + str(r.randint(10, 999)),
+        lambda: "".join(r.choices("abcdefghijklmnopqrstuvwxyz", k=r.randint(15, 20))) + str(r.randint(100000, 999999)),
+        lambda: "".join(r.choices("abcdefghijklmnopqrstuvwxyz", k=r.randint(6, 10))) + str(r.randint(10, 99)),
+        lambda: "".join(r.choices("abcdefghijklmnopqrstuvwxyz", k=r.randint(8, 12))) + str(r.randint(1000, 9999)),
+        lambda: f"{r.randint(10, 99)}{_first(r)}",                           # 29summikota
+        lambda: f"{r.choice('ABCDEGHIJKLNOPQRSTUVWXYZ')}{r.randint(100000, 999999)}",  # A141981
+        lambda: f"{r.choice('ABCDEGHIJKLNOPQRSTUVWXYZ')}{r.randint(10, 99)}",          # N23 (no M/F)
+        lambda: r.choice(vocab.INITIALS),                                    # GR-style initials
+        lambda: f"{r.randint(1950, 2010)}{_first(r)}.{_last(r)}",            # 1980refad.chaib
+        lambda: f"{r.randint(1950, 2010)}{_last(r)}",                        # year + username
+        lambda: _first(r),                                                   # bare lowercase first
+    ]
+    return r.choice(makers)()
+
+
+# ---------------------------------------------------------------- ORG
+# [ref: generation.py:41 fake.company()]
+
+def generate_org(r: random.Random) -> str:
+    w = lambda: r.choice(vocab.ORG_WORDS)  # noqa: E731
+    shapes = [
+        lambda: f"{w()} {r.choice(vocab.ORG_SUFFIXES)}",
+        lambda: f"{w()}-{w()}",
+        lambda: f"{w()}, {w()} and {w()}",
+    ]
+    return r.choice(shapes)()
+
+
+# ---------------------------------------------------------------- SSN
+# [ref: generation.py:120-153] — all 11 formats
+
+def generate_ssn(r: random.Random) -> str:
+    fmts = [
+        lambda: f"{r.randint(100, 999)}-{r.randint(10, 99)}-{r.randint(1000, 9999)}",
+        lambda: f"{r.randint(100000000, 999999999)}",
+        lambda: f"{r.choice('ABCDEFGHIJKLMNOPQRSTUVWXYZ')}{r.randint(10000000, 99999999)}",
+        lambda: f"{r.randint(1000, 9999)}-{r.randint(1000, 9999)}-{r.randint(1000, 9999)}",
+        lambda: f"{r.choice('ABCDEFGHIJKLMNOPQRSTUVWXYZ')}{r.randint(1000000, 9999999)}",
+        lambda: f"{r.randint(100, 999)} {r.randint(100, 999)} {r.randint(1000, 9999)}",
+        lambda: f"{r.randint(100, 999)}.{r.randint(100, 999)}.{r.randint(1000, 9999)}",
+        lambda: f"0{r.randint(100000000, 999999999)}",
+        lambda: f"0{r.randint(10000000, 99999999)}",
+        lambda: (
+            f"{r.randint(10, 99)}.{r.randint(10, 99)}.{r.randint(10, 99)}."
+            f"{r.randint(10, 99)}.{r.choice('ABCDEFGHIJKLMNOPQRSTUVWXYZ')}{r.randint(10, 99)}.{r.randint(1, 9)}"
+        ),
+    ]
+    return r.choice(fmts)()
+
+
+# ---------------------------------------------------------------- AGE
+# [ref: generation.py:155-178] — all 22 formats
+
+def generate_age(r: random.Random) -> str:
+    a = r.randint(1, 99)
+    fmts = [
+        f"{a}M", f"{a}F", f"M{a}", f"F{a}", f"{a}m", f"{a}f",
+        f"({a}M)", f"({a}F)",
+        f"{a} years old", f"{a}yo",
+        str(a),
+        f"[{a}M]", f"[{a}F]",
+        f"{a} year old", f"{a}-year-old",
+        f"age {a}", f"I'm {a}", f"i'm {a}",
+        f"{a}M/{r.randint(18, 65)}F",
+        f"({a})",
+        f"{a} M", f"{a} F",
+    ]
+    return r.choice(fmts)
+
+
+# ---------------------------------------------------------------- PHONE
+# [ref: generation.py:180-234] — base + all 25 variations
+
+def _phone_base(r: random.Random) -> str:
+    return f"{r.randint(200, 989)}-{r.randint(200, 999)}-{r.randint(1000, 9999)}"
+
+
+def generate_phone(r: random.Random) -> str:
+    p = _phone_base(r)
+    fmts = [
+        lambda: p,
+        lambda: p.replace("-", " "),
+        lambda: p.replace("-", "."),
+        lambda: p.replace("-", ""),
+        lambda: p[-8:],
+        lambda: p[-4:],
+        lambda: f"xxx-xxx-{p[-4:]}",
+        lambda: f"***-***-{p[-4:]}",
+        lambda: f"ends in {p[-4:]}",
+        lambda: f"call me at {p}",
+        lambda: f"({p[:3]}) {p[4:]}",                       # parenthesized shape
+        lambda: p.replace("-", "/"),
+        lambda: f"+1 {p}",
+        lambda: f"tel: {p}",
+        lambda: f"phone: {p}",
+        lambda: f"+{r.randint(1000, 999999)}-{r.randint(100, 999)}-{r.randint(1000, 9999)}",
+        lambda: f"+{r.randint(1, 99)}-{r.randint(100, 999)}.{r.randint(100, 999)}.{r.randint(1000, 9999)}",
+        lambda: f"+{r.randint(1, 99)}-{r.randint(100, 999)}-{r.randint(100, 999)}.{r.randint(1000, 9999)}",
+        lambda: f"0{r.randint(1000, 9999)}.{r.randint(100, 999)}.{r.randint(100, 999)}-{r.randint(1000, 9999)}",
+        lambda: f"+{r.randint(10000, 9999999)} {r.randint(1000, 9999)}",
+        lambda: f"0{r.randint(10, 99)} {r.randint(1000, 9999)}.{r.randint(1000, 9999)}",
+        lambda: f"{r.randint(1000, 9999)}-{r.randint(100, 999)}-{r.randint(1000, 9999)}",
+        lambda: f"+{r.randint(1, 99)} {r.randint(10, 99)}-{r.randint(100, 999)} {r.randint(1000, 9999)}",
+        lambda: f"00{r.randint(10, 99)}-{r.randint(1000, 9999)}",
+        lambda: f"+{r.randint(1, 99)} {r.randint(100, 999)} {r.randint(100, 999)} {r.randint(1000, 9999)}",
+    ]
+    return r.choice(fmts)()
+
+
+# ---------------------------------------------------------------- DATE
+# [ref: generation.py:236-288] — all 17 formats
+
+_MONTH_NAMES = [
+    "January", "February", "March", "April", "May", "June", "July",
+    "August", "September", "October", "November", "December",
+]
+_DAYS_IN_MONTH = [31, 28, 31, 30, 31, 30, 31, 31, 30, 31, 30, 31]
+
+
+def _ordinal(d: int) -> str:
+    if 10 <= d % 100 <= 20:
+        return "th"
+    return {1: "st", 2: "nd", 3: "rd"}.get(d % 10, "th")
+
+
+def generate_date(r: random.Random) -> str:
+    year = r.randint(1902, 2033)
+    month = r.randint(1, 12)
+    day = r.randint(1, _DAYS_IN_MONTH[month - 1])
+    mn, ms = _MONTH_NAMES[month - 1], _MONTH_NAMES[month - 1][:3]
+    fmts = [
+        f"{year}-{month:02d}-{day:02d}",
+        f"{month:02d}/{day:02d}/{year}",
+        f"{day:02d}/{month:02d}/{year}",
+        f"{mn} {day}, {year}",
+        f"{ms} {day}, {year}",
+        str(year),
+        f"born in {year}",
+        f"{month:02d}/{day:02d}/{year % 100}",
+        f"{month}/{day}/{year}",
+        f"{day}/{month}/{year}",
+        f"{mn} {year}",
+        f"birthday: {month}/{day}",
+        f"{year}-{month:02d}-{day:02d}T00:00:00",
+        f"{mn}/{day}",
+        f"{day}{_ordinal(day)} {mn} {year}",
+        f"{mn} {day}{_ordinal(day)}, {year}",
+        f"{ms} {day}{_ordinal(day)}, {year}",
+    ]
+    return r.choice(fmts)
+
+
+# ---------------------------------------------------------------- ADDRESS
+# [ref: generation.py:290-348]
+
+def generate_address(r: random.Random) -> str:
+    if r.random() < 0.2:  # full address
+        return (
+            f"{r.randint(1, 999)} {r.choice(vocab.STREET_NAMES_BASE)} "
+            f"{r.choice(vocab.STREET_TYPES)}, {r.choice(vocab.CITIES)}, "
+            f"{r.choice(vocab.STATE_ABBRS)} {r.randint(10000, 99999)}"
+        )
+    street = lambda: f"{r.choice(vocab.STREET_NAMES_BASE)} {r.choice(vocab.STREET_TYPES)}"  # noqa: E731
+    zip5 = lambda: str(r.randint(10000, 99999))  # noqa: E731
+    components = [
+        lambda: r.choice(vocab.COUNTRY_CODES),
+        lambda: r.choice(vocab.COUNTRY_CODES),
+        lambda: str(r.randint(1, 9999)),
+        lambda: str(r.randint(1, 999)),
+        lambda: r.choice(vocab.STATE_ABBRS),
+        lambda: r.choice(vocab.STATE_ABBRS),
+        street, street, street,
+        lambda: r.choice(vocab.CITIES),
+        lambda: r.choice(vocab.CITIES),
+        lambda: r.choice(vocab.CITIES),
+        lambda: r.choice(vocab.CITIES),
+        zip5, zip5, zip5,
+        lambda: f"{r.choice('ABCDEGHIJKLNOPQRSTUVWXYZ')}{r.choice('ABCDEGHIJKLNOPQRSTUVWXYZ')}{r.randint(10, 99)}",
+        lambda: f"{zip5()}, {zip5()}",
+        lambda: f"{r.randint(1, 999)} {street()}",
+        lambda: f"{r.randint(1, 999)} {street()}",
+        lambda: r.choice(vocab.COUNTRIES),
+        lambda: r.choice(vocab.COUNTRIES),
+        lambda: r.choice(vocab.COUNTRIES),
+        lambda: r.choice(vocab.STATE_FULL),
+        lambda: f"Apartment {r.randint(1, 999)}",
+        lambda: f"Suite {r.randint(1, 999)}",
+        lambda: f"Floor {r.randint(1, 50)}",
+    ]
+    return r.choice(components)()
+
+
+# ---------------------------------------------------------------- EMAIL
+# [ref: generation.py:350-390]
+
+def generate_email(r: random.Random) -> str:
+    dom = lambda: r.choice(vocab.EMAIL_DOMAINS)  # noqa: E731
+    if r.random() < 0.7:  # standard first.last@domain analog
+        return f"{_first(r)}.{_last(r)}@{dom()}"
+    patterns = [
+        lambda: f"{''.join(r.choices('ABCDEFGHIJKLMNOPQRSTUVWXYZ', k=2))}@{dom()}",
+        lambda: f"{''.join(r.choices('abcdefghijklmnopqrstuvwxyz', k=2))}@{dom()}",
+        lambda: f"{''.join(r.choices('abcdefghijklmnopqrstuvwxyz', k=r.randint(5, 10)))}{r.randint(1, 999):03d}@{dom()}",
+        lambda: f"{''.join(r.choices('abcdefghijklmnopqrstuvwxyz', k=r.randint(10, 15)))}{r.randint(100, 999)}@{dom()}",
+        lambda: f"{_first(r)}{_last(r)}@{dom()}",
+        lambda: f"{_first(r)[0]}{_last(r)}@{dom()}",
+        lambda: f"{_last(r)}{r.randint(10, 99)}@{dom()}",
+        lambda: f"{_first(r)}_{_last(r)}@{dom()}",
+        lambda: f"{_first(r)}.{_last(r)}@{dom()}",
+    ]
+    return r.choice(patterns)()
+
+
+# ---------------------------------------------------------------- CREDIT_CARD
+# [ref: generation.py:46 fake.credit_card_number — Luhn-valid 13-19 digits]
+
+def _luhn_check_digit(partial: str) -> str:
+    total = 0
+    for i, c in enumerate(reversed(partial + "0")):
+        d = int(c)
+        if i % 2 == 1:
+            d *= 2
+            if d > 9:
+                d -= 9
+        total += d
+    return str((10 - total % 10) % 10)
+
+
+def generate_credit_card(r: random.Random) -> str:
+    length = r.choice([13, 15, 16, 19])
+    partial = str(r.randint(1, 9)) + "".join(str(r.randint(0, 9)) for _ in range(length - 2))
+    return partial + _luhn_check_digit(partial)
+
+
+# ---------------------------------------------------------------- composite
+
+def sample_fields(r: random.Random) -> dict[str, str]:
+    """One instance of each field type [ref: generation.py:35-49]."""
+    return {
+        "person": generate_person(r),
+        "org": generate_org(r),
+        "address": generate_address(r),
+        "email": generate_email(r),
+        "phone": generate_phone(r),
+        "ssn": generate_ssn(r),
+        "credit_card": generate_credit_card(r),
+        "date": generate_date(r),
+        "age": generate_age(r),
+    }

@@ -1,0 +1,234 @@
+"""Per-entity unit vectors: one positive per reference sampler format and
+one negative per hard-negative pattern (SURVEY.md §5.2.1, FIXTURES.md §3).
+
+Citations are pattern_id -> reference line (pii_synth/generation.py = G).
+Each positive vector embeds the value in a short carrier sentence and
+asserts the detector recovers the exact span (start, end, label).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pipeline.detect.detector import detect_spans
+from pipeline.detect.spans import Span
+
+
+def assert_single(text: str, value: str, label: str):
+    start = text.index(value)
+    spans = detect_spans(text)
+    assert spans == [Span(start, start + len(value), label)], (
+        f"{label} {value!r}: got {[(s.start, s.end, s.label, text[s.start:s.end]) for s in spans]}"
+    )
+
+
+def assert_none(text: str):
+    spans = detect_spans(text)
+    assert spans == [], (
+        f"expected no spans, got {[(s.label, text[s.start:s.end]) for s in spans]}"
+    )
+
+
+# ---- EMAIL [G:350-390 formats; G:708-739 obfuscations]
+EMAIL_VECTORS = [
+    ("email.standard", "marisol.vexler@gmail.com"),
+    ("email.short_upper", "ZB@yahoo.com"),
+    ("email.rand_digits", "xwjhgbgg009@outlook.com"),
+    ("email.first_last", "ingridnovotny@gmail.com"),
+    ("email.underscore", "kofi_grimaldi@aol.com"),
+    ("email.at_word", "marisol at gmail.com"),            # G:719
+    ("email.at_bracket", "marisol[at]gmail.com"),         # G:720
+    ("email.at_paren", "marisol (at) gmail.com"),         # G:721
+    ("email.at_upper", "marisol AT gmail.com"),           # G:722
+    ("email.at_spaced", "marisol @ gmail.com"),           # G:723
+    ("email.at_bracket_spaced", "marisol [AT] gmail.com"),  # G:724
+    ("email.dot_words", "marisol dot gmail dot com"),     # G:730
+    ("email.at_dot_brackets", "marisol[at]gmail[dot]com"),  # G:731
+    ("email.at_dot_spaced", "marisol @ gmail . com"),     # G:732
+    ("email.all_words", "marisol dot vexler at gmail dot com"),  # G:737
+    ("email.typo_tld", "marisol.vexler@gmail.con"),       # G:694 noise
+]
+
+
+@pytest.mark.parametrize("pid,value", EMAIL_VECTORS, ids=[v[0] for v in EMAIL_VECTORS])
+def test_email_vectors(pid, value):
+    assert_single(f"reply to {value} thanks", value, "EMAIL")
+
+
+# ---- PHONE [G:180-234 variations; G:742-751 obfuscation]
+PHONE_VECTORS = [
+    ("phone.dashed", "555-123-4567"),
+    ("phone.spaced", "555 123 4567"),
+    ("phone.dotted_cued", "Phone: |555.123.4567|"),       # cue resolves vs SSN
+    ("phone.bare10", "5551234567"),
+    ("phone.last8", "123-4567"),
+    ("phone.masked_x", "xxx-xxx-4567"),
+    ("phone.masked_star", "***-***-4567"),
+    ("phone.ends_in", "ends in 4567"),
+    ("phone.call_me", "call me at 555-123-4567"),
+    ("phone.paren", "(555) 123-4567"),
+    ("phone.slashed", "555/123/4567"),
+    ("phone.plus1", "+1 555-123-4567"),
+    ("phone.tel", "tel: 555-123-4567"),
+    ("phone.label", "phone: 555-123-4567"),
+    ("phone.intl_nosep", "+31880-385-2406"),              # G:204
+    ("phone.intl_dotdash", "+20-914.834.1296"),           # G:207
+    ("phone.intl_enddot", "+51-163-367.7939"),            # G:210
+    ("phone.lead0_dots", "01881.881.151-3030"),           # G:213
+    ("phone.intl_space", "+3380820 0420"),                # G:216
+    ("phone.space_dot", "076 1352.8018"),                 # G:219
+    ("phone.four_groups", "4929-667-4889"),               # G:222
+    ("phone.intl_mixed", "+7 69-909 8310"),               # G:225
+    ("phone.lead00", "0070-4821"),                        # G:228
+    ("phone.intl_spaces", "+31 880 385 2406"),            # G:231
+    ("phone.obf_singles", "5 5 5 1 2 3 4 5 6 7"),         # G:747
+    ("phone.obf_chunks", "555-123-456-7"),                # G:748
+    ("phone.noise_spaced_dash", "555 - 123 - 4567"),      # M12 spacing noise
+]
+
+
+@pytest.mark.parametrize("pid,value", PHONE_VECTORS, ids=[v[0] for v in PHONE_VECTORS])
+def test_phone_vectors(pid, value):
+    if value.startswith("Phone: |"):
+        inner = value[8:-1]
+        assert_single(f"Phone: |{inner}| noted", inner, "PHONE")
+    else:
+        assert_single(f"you can reach me, {value}, anytime", value, "PHONE")
+
+
+# ---- SSN [G:120-153]
+SSN_VECTORS = [
+    ("ssn.us", "123-45-6789"),
+    ("ssn.bare9", "123456789"),
+    ("ssn.letter8", "B12345678"),
+    ("ssn.four_groups", "1234-5678-9012"),
+    ("ssn.letter7", "C1234567"),
+    ("ssn.spaced", "996 076 6460"),
+    ("ssn.dotted", "554.575.9355"),
+    ("ssn.ten_zero", "0610780437"),
+    ("ssn.nine_zero", "080065505"),
+    ("ssn.complex", "27.01.06.52.N67.7"),
+    ("ssn.noise_spaced", "123 - 45 - 6789"),              # M12 spacing noise
+]
+
+
+@pytest.mark.parametrize("pid,value", SSN_VECTORS, ids=[v[0] for v in SSN_VECTORS])
+def test_ssn_vectors(pid, value):
+    assert_single(f"my ssn is {value} ok", value, "SSN")
+
+
+# ---- CREDIT_CARD (Luhn-valid) + AGE + DATE
+def test_credit_card_luhn_valid():
+    assert_single("card 4532015112830366 charged", "4532015112830366", "CREDIT_CARD")
+
+
+AGE_VECTORS = [
+    ("age.m", "23M"), ("age.f_lower", "23f"), ("age.m_prefix", "M23"),
+    ("age.paren_m", "(25M)"), ("age.paren_bare", "(25)"),
+    ("age.bracket", "[25M]"), ("age.years_old", "24 years old"),
+    ("age.year_old", "24 year old"), ("age.hyphen", "24-year-old"),
+    ("age.yo", "24yo"), ("age.age_n", "age 24"), ("age.im", "I'm 25"),
+    ("age.mf_pair", "25M/34F"), ("age.spaced_m", "25 M"),
+]
+
+
+@pytest.mark.parametrize("pid,value", AGE_VECTORS, ids=[v[0] for v in AGE_VECTORS])
+def test_age_vectors(pid, value):
+    assert_single(f"my brother {value} agrees", value, "AGE")
+
+
+DATE_VECTORS = [
+    ("date.iso", "1990-05-15"),
+    ("date.iso_t", "1990-05-15T00:00:00"),
+    ("date.us", "05/15/1990"),
+    ("date.eu", "15/05/1990"),
+    ("date.month_name", "May 15, 1990"),
+    ("date.month_short", "Sep 15, 1990"),
+    ("date.year_only", "1990"),
+    ("date.born_in", "born in 1990"),
+    ("date.short_year", "05/15/90"),
+    ("date.no_zeros", "5/15/1990"),
+    ("date.month_year", "May 1990"),
+    ("date.birthday", "birthday: 5/15"),
+    ("date.month_slash_day", "September/14"),
+    ("date.ordinal", "23rd June 1958"),
+    ("date.month_ordinal", "August 5th, 2017"),
+]
+
+
+@pytest.mark.parametrize("pid,value", DATE_VECTORS, ids=[v[0] for v in DATE_VECTORS])
+def test_date_vectors(pid, value):
+    assert_single(f"the meeting is {value} ok", value, "DATE")
+
+
+# ---- PERSON / ORG / ADDRESS (gazetteer-anchored)
+PERSON_VECTORS = [
+    ("person.full", "Marisol Vexler"),
+    ("person.dot", "marisol.vexler"),
+    ("person.dot_digits", "marisol.vexler42"),
+    ("person.underscore", "marisol_vexler"),
+    ("person.first_digits", "marisol123"),
+    ("person.random_user", "lqsdrojhmrlcw54"),
+    ("person.letter6", "A141981"),
+    ("person.letter2", "N23"),
+    ("person.initials", "GRX"),
+    ("person.year_prefix", "1980marisol.vexler"),
+    ("person.digits_prefix", "29marisol"),
+    ("person.bare_first", "marisol"),
+]
+
+
+@pytest.mark.parametrize("pid,value", PERSON_VECTORS, ids=[v[0] for v in PERSON_VECTORS])
+def test_person_vectors(pid, value):
+    assert_single(f"please ask {value} about this", value, "PERSON")
+
+
+ORG_VECTORS = [
+    ("org.suffix", "Vexler Inc"),
+    ("org.hyphen", "Vexler-Okonkwo"),
+    ("org.list", "Vexler, Okonkwo and Grimaldi"),
+]
+
+
+@pytest.mark.parametrize("pid,value", ORG_VECTORS, ids=[v[0] for v in ORG_VECTORS])
+def test_org_vectors(pid, value):
+    assert_single(f"invoice from {value} received", value, "ORG")
+
+
+ADDRESS_VECTORS = [
+    ("addr.city", "Bristleton"),
+    ("addr.country", "Freedonia"),
+    ("addr.state_full", "Cascadia"),
+    ("addr.street", "Maplewood Street"),
+    ("addr.street_addr", "123 Maplewood Street"),
+    ("addr.full", "123 Maplewood Street, Bristleton, KX 12345"),
+    ("addr.apartment", "Apartment 12"),
+    ("addr.suite", "Suite 4"),
+    ("addr.abbr", "KX"),
+    ("addr.country_code", "FD"),
+    ("addr.zip_pair", "12345, 67890"),
+    ("addr.postcode_part", "AB21"),
+]
+
+
+@pytest.mark.parametrize("pid,value", ADDRESS_VECTORS, ids=[v[0] for v in ADDRESS_VECTORS])
+def test_address_vectors(pid, value):
+    assert_single(f"ship to {value} please", value, "ADDRESS")
+
+
+# ---- hard negatives must yield ZERO spans [G:756-775]
+HARD_NEGATIVES = [
+    ("hardneg.guid", "GUID 550e8400-e29b-41d4-a716-446655440abc"),
+    ("hardneg.mac", "MAC 0a:1b:2c:3d:4e:5f"),
+    ("hardneg.sha1", "SHA1 2fd4e1c67a2d28fced849ee1bb76e7391b93eb12"),
+    ("hardneg.ipv4", "IPv4 192.168.1.10"),
+    ("hardneg.luhn_invalid", "Card 453201511283036 (missing digit)"),
+    ("hardneg.handle", "Handle @throwaway92x"),
+    ("hardneg.ref", "Ref #48213."),
+    ("hardneg.acct", "Acct 48213977 checksum pending"),
+]
+
+
+@pytest.mark.parametrize("pid,text", HARD_NEGATIVES, ids=[v[0] for v in HARD_NEGATIVES])
+def test_hard_negatives(pid, text):
+    assert_none(text)
