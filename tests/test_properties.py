@@ -1,0 +1,72 @@
+"""Property-based invariants (SURVEY.md §5.2.2) with hypothesis."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+
+from pipeline.detect.detector import detect_spans
+from pipeline.detect.scrub import apply_spans, scrub_text
+from pipeline.detect.spans import Span, resolve_overlaps, spans_to_bilou
+from pipeline.synth.corpus import make_conformance_row
+
+
+@given(st.text(max_size=400))
+@settings(max_examples=200, deadline=None)
+def test_spans_are_valid_and_disjoint(text):
+    spans = detect_spans(text)
+    for sp in spans:
+        assert 0 <= sp.start < sp.end <= len(text)
+    for a, b in zip(spans, spans[1:]):
+        assert a.end <= b.start  # sorted + non-overlapping
+
+
+@given(st.text(max_size=300))
+@settings(max_examples=150, deadline=None)
+def test_scrub_idempotent(text):
+    once, _ = scrub_text(text)
+    twice, _ = scrub_text(once)
+    assert once == twice
+
+
+@given(st.integers(min_value=0, max_value=5000))
+@settings(max_examples=60, deadline=None)
+def test_conformance_row_deterministic(doc_id):
+    assert make_conformance_row(doc_id) == make_conformance_row(doc_id)
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 50), st.integers(1, 12), st.sampled_from(["EMAIL", "PHONE", "SSN"])),
+        max_size=8,
+    )
+)
+@settings(max_examples=150, deadline=None)
+def test_resolve_overlaps_disjoint(raw):
+    cands = [Span(s, s + ln, lb) for s, ln, lb in raw]
+    out = resolve_overlaps(cands)
+    for a, b in zip(out, out[1:]):
+        assert a.end <= b.start
+
+
+def test_bilou_round_trip_semantics():
+    """Span -> BILOU uses the reference's overlap rule (tok_end > start and
+    tok_start < end) [pii_synth/build_datasets.py:57-60]."""
+    text = "contact marisol.vexler@gmail.com or 555-123-4567 now"
+    spans = detect_spans(text)
+    tokens, labels = spans_to_bilou(text, spans)
+    assert len(tokens) == len(labels)
+    assert labels[1] == "U-EMAIL"
+    assert labels[3] == "U-PHONE"
+    assert labels[0] == "O" and labels[-1] == "O"
+    # multi-token span -> B/L
+    text2 = "ask Marisol Vexler today"
+    sp2 = detect_spans(text2)
+    _, labels2 = spans_to_bilou(text2, sp2)
+    assert labels2[1] == "B-PERSON" and labels2[2] == "L-PERSON"
+
+
+def test_apply_spans_masks_right_to_left():
+    text = "a@b.com x 123-45-6789"
+    spans = detect_spans(text)
+    out = apply_spans(text, spans)
+    assert "123-45-6789" not in out and "[SSN]" in out
