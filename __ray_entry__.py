@@ -1,16 +1,12 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported — nothing
+here calls ray.init()/ray.shutdown().
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+`queries()` maps SURVEY.md §2 operators (and the charter's training-data
+ops) onto the driver's testdata tables; `oracle_sql()` gives the DuckDB
+equivalent where ANSI SQL can express the op (float columns are rounded
+identically on both sides so the driver's value-hash is stable).
 """
 
 from __future__ import annotations
@@ -18,27 +14,467 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _docs(sf_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet")
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline smoke over sf0.001: adapt `documents` to the code
+    table shape and run quality+scrub end to end (all rows returned with
+    keep/drop annotations)."""
+    import ray.data as rd
+
+    from pipeline._util import hex_digest
+    from pipeline.ray_pipeline import flagship_pipeline
+
+    ds = rd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+
+    def adapt(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        return pa.table(
+            {
+                "repo": batch["source"],
+                "path": pa.array([f"doc-{i}.txt" for i in ids]),
+                "commit": pa.array([hex_digest("doc", i) for i in ids]),
+                "lang": batch["lang"],
+                "content": batch["text"],
+            }
+        )
+
+    return flagship_pipeline(
+        ds.map_batches(adapt, batch_format="pyarrow"), profile="code"
+    )
+
+
+# --------------------------------------------------------------- queries
+
+def _doc_length_stats(sf_dir: str) -> pd.DataFrame:
+    """A4: sequence-length stats [model.ipynb cell 9 analog]."""
+    from ray.data.aggregate import Count, Max, Mean, Min, Std
+
+    row = _docs(sf_dir).aggregate(
+        Count(alias_name="n_docs"),
+        Mean("n_chars", alias_name="mean_chars"),
+        Min("n_chars", alias_name="min_chars"),
+        Max("n_chars", alias_name="max_chars"),
+        Std("n_chars", alias_name="std_chars"),
+    )
+    return pd.DataFrame(
+        [{
+            "n_docs": int(row["n_docs"]),
+            "mean_chars": round(float(row["mean_chars"]), 3),
+            "min_chars": int(row["min_chars"]),
+            "max_chars": int(row["max_chars"]),
+            "std_chars": round(float(row["std_chars"]), 3),
+        }]
+    )
+
+
+def _doc_minlen_filter(sf_dir: str) -> pd.DataFrame:
+    """M23: min-length filter [evaluation/model_evaluation.py:240-241]."""
+    import pyarrow.compute as pc
+
+    n = (
+        _docs(sf_dir)
+        .map_batches(
+            lambda t: t.filter(pc.greater_equal(pc.utf8_length(t["text"]), 10)),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+        .count()
+    )
+    return pd.DataFrame([{"n_docs": int(n)}])
+
+
+def _doc_lang_filter(sf_dir: str) -> pd.DataFrame:
+    """M22: language filter + count [evaluation/model_evaluation.py:27]."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count
+
+    out = (
+        _docs(sf_dir)
+        .map_batches(
+            lambda t: t.filter(pc.equal(t["lang"], "en")),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+        .groupby("lang")
+        .aggregate(Count(alias_name="n_docs"))
+    )
+    return out.to_pandas()
+
+
+def _doc_source_counts(sf_dir: str) -> pd.DataFrame:
+    """A6 analog: grouped counts + byte sums."""
+    from ray.data.aggregate import Count, Sum
+
+    out = (
+        _docs(sf_dir)
+        .groupby("source")
+        .aggregate(Count(alias_name="n_docs"), Sum("n_chars", alias_name="sum_chars"))
+    )
+    df = out.to_pandas()
+    df["sum_chars"] = df["sum_chars"].astype("int64")
+    return df
+
+
+def _doc_top10_longest(sf_dir: str) -> pd.DataFrame:
+    """O3/O4: sort + limit (deterministic tie-break by doc_id)."""
+    out = (
+        _docs(sf_dir)
+        .select_columns(["doc_id", "n_chars"])
+        .sort(["n_chars", "doc_id"], descending=[True, False])
+        .limit(10)
+    )
+    return out.to_pandas()
+
+
+def _doc_token_counts(sf_dir: str) -> pd.DataFrame:
+    """Token counting (whitespace) per source, vectorized."""
+    from ray.data.aggregate import Sum
+
+    from pipeline.extras.textstats import token_count_stage
+
+    out = (
+        _docs(sf_dir)
+        .map_batches(token_count_stage, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("source")
+        .aggregate(Sum("n_tokens_ws", alias_name="n_tokens"))
+    )
+    df = out.to_pandas()
+    df["n_tokens"] = df["n_tokens"].astype("int64")
+    return df
+
+
+def _doc_alnum_ratio(sf_dir: str) -> pd.DataFrame:
+    """Quality heuristic (alnum ratio) per source."""
+    from pipeline.quality.heuristics import heuristic_batch
+
+    def stage(batch: pa.Table) -> pa.Table:
+        cols = heuristic_batch(batch["text"])
+        return pa.table(
+            {"source": batch["source"], "alnum_ratio": pa.array(cols["alnum_ratio"])}
+        )
+
+    from ray.data.aggregate import Mean
+
+    out = (
+        _docs(sf_dir)
+        .map_batches(stage, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("source")
+        .aggregate(Mean("alnum_ratio", alias_name="avg_alnum"))
+    )
+    df = out.to_pandas()
+    df["avg_alnum"] = df["avg_alnum"].round(4)
+    return df
+
+
+def _doc_quality(sf_dir: str) -> pd.DataFrame:
+    """Per-doc prose quality signals (punct ratio, word count)."""
+    from pipeline.extras.textstats import quality_stage
+
+    out = _docs(sf_dir).map_batches(
+        quality_stage, batch_format="pyarrow", zero_copy_batch=True
+    ).select_columns(["doc_id", "n_words", "punct_ratio"])
+    df = out.to_pandas()
+    df["punct_ratio"] = df["punct_ratio"].round(4)
+    return df
+
+
+def _dedup_exact(sf_dir: str) -> pd.DataFrame:
+    """§2.7 exact dedup stats: first doc id + copy count per distinct text."""
+    from pipeline.extras.dedup import exact_dedup_stats
+
+    df = exact_dedup_stats(_docs(sf_dir)).to_pandas()
+    df["n_copies"] = df["n_copies"].astype("int64")
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+def _events_hourly(sf_dir: str) -> pd.DataFrame:
+    """Windowed aggregate: tumbling 1-hour count+sum per event_type
+    (streaming-shaped workload expressed as groupby over bucket keys)."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet")
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        epoch = pc.cast(batch["ts"], pa.int64())  # microseconds
+        hour = pc.divide(epoch, 3_600_000_000)
+        return pa.table(
+            {
+                "event_type": batch["event_type"],
+                "hour_bucket": pc.cast(hour, pa.int64()),
+                "value": batch["value"],
+            }
+        )
+
+    out = (
+        ds.map_batches(bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["event_type", "hour_bucket"])
+        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
+    )
+    df = out.to_pandas()
+    df["sum_value"] = df["sum_value"].round(3)
+    return df
+
+
+def _events_user_sessions(sf_dir: str) -> pd.DataFrame:
+    """Sessionization (30-min gap) per user via groupby().map_groups —
+    the per-key ordered-log pattern for stream-shaped data."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g["ts"].sort_values().astype("int64") // 1_000_000  # sec
+        gaps = ts.diff().fillna(0)
+        n_sessions = int((gaps > 1800).sum()) + 1
+        return pd.DataFrame(
+            [{"user_id": int(g["user_id"].iloc[0]), "n_sessions": n_sessions}]
+        )
+
+    out = ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    return out.to_pandas().sort_values("user_id").reset_index(drop=True)
+
+
+N_ANN_QUERIES = 5
+ANN_K = 10
+
+
+def _ann_queries(sf_dir: str):
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    qdf = (
+        ds.filter(expr=f"vec_id < {N_ANN_QUERIES}")
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    queries = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
+    return ds, queries, qdf["vec_id"].tolist()
+
+
+def _ann_topk(sf_dir: str) -> pd.DataFrame:
+    """Brute-force cosine top-k (baseline similarity search)."""
+    from pipeline.extras.ann import brute_force_topk
+
+    ds, queries, qids = _ann_queries(sf_dir)
+    df = brute_force_topk(ds, queries, qids, k=ANN_K)
+    df["score"] = df["score"].round(4)
+    return df.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
+def _ann_topk_ivf(sf_dir: str) -> pd.DataFrame:
+    """IVF-bucketed approximate variant (scale path; rows-only check —
+    approximate by design)."""
+    from pipeline.extras.ann import ivf_topk
+
+    ds, queries, qids = _ann_queries(sf_dir)
+    df = ivf_topk(ds, queries, qids, k=ANN_K)
+    df["score"] = df["score"].round(4)
+    return df.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
+def _minhash_pairs(sf_dir: str) -> pd.DataFrame:
+    from pipeline.extras.dedup import minhash_lsh_pairs
+
+    df = minhash_lsh_pairs(_docs(sf_dir), threshold=0.5).to_pandas()
+    if len(df):
+        df["jaccard"] = df["jaccard"].round(4)
+        df = df.sort_values(["a", "b"]).reset_index(drop=True)
+    return df
+
+
+def _simhash_pairs(sf_dir: str) -> pd.DataFrame:
+    from pipeline.extras.dedup import simhash_pairs
+
+    df = simhash_pairs(_docs(sf_dir), max_hamming=6).to_pandas()
+    if len(df):
+        df = df.sort_values(["a", "b"]).reset_index(drop=True)
+    return df
+
+
+def _embedding_near_dups(sf_dir: str) -> pd.DataFrame:
+    import ray.data as rd
+
+    from pipeline.extras.ann import embedding_near_dup_pairs
+
+    # the fixture embeddings are near-uniform on the sphere (max pairwise
+    # cosine ~0.51 at sf0.01) — 0.4 exercises the operator end to end
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    df = embedding_near_dup_pairs(ds, threshold=0.4)
+    if len(df):
+        df["cosine"] = df["cosine"].round(4)
+        df = df.sort_values(["a", "b"]).reset_index(drop=True)
+    return df
+
+
+def _scrub_documents(sf_dir: str) -> pd.DataFrame:
+    """Conformance-profile scrub of the documents table (rows-only: the
+    detector semantics have no SQL equivalent)."""
+    from pipeline.ray_pipeline import scrub_stage
+
+    out = _docs(sf_dir).map_batches(
+        scrub_stage, batch_format="pyarrow",
+        fn_kwargs={"column": "text", "profile": "conformance"},
+        zero_copy_batch=True,
+    ).select_columns(["doc_id", "n_pii_spans", "content_sha256"])
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+def _langid_documents(sf_dir: str) -> pd.DataFrame:
+    """Langid + perplexity actor-pool stages over documents (rows-only)."""
+    import ray as _ray
+
+    from pipeline.quality.langid import LangIdModel
+    from pipeline.quality.perplexity import PerplexityModel
+    from pipeline.ray_pipeline import LangIdScorer, PerplexityScorer
+
+    lang_ref = _ray.put(LangIdModel.default())
+    ppl_ref = _ray.put(PerplexityModel.default())
+    ds = _docs(sf_dir).map_batches(
+        LangIdScorer, batch_format="pyarrow", batch_size=512,
+        fn_constructor_kwargs={"column": "text", "model_ref": lang_ref},
+        concurrency=2, num_cpus=1,
+    )
+    ds = ds.map_batches(
+        PerplexityScorer, batch_format="pyarrow", batch_size=512,
+        fn_constructor_kwargs={"column": "text", "model_ref": ppl_ref},
+        concurrency=2, num_cpus=1,
+    )
+    df = ds.select_columns(["doc_id", "lang_pred", "perplexity"]).to_pandas()
+    df["perplexity"] = df["perplexity"].round(3)
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+def _doc_fingerprints(sf_dir: str) -> pd.DataFrame:
+    """Rolling-hash document fingerprint (rows-only)."""
+    from pipeline.extras.textstats import fingerprint_stage
+
+    out = _docs(sf_dir).map_batches(
+        fingerprint_stage, batch_format="pyarrow", zero_copy_batch=True
+    ).select_columns(["doc_id", "fingerprint"])
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "doc_length_stats": _doc_length_stats,
+        "doc_minlen_filter": _doc_minlen_filter,
+        "doc_lang_filter": _doc_lang_filter,
+        "doc_source_counts": _doc_source_counts,
+        "doc_top10_longest": _doc_top10_longest,
+        "doc_token_counts": _doc_token_counts,
+        "doc_alnum_ratio": _doc_alnum_ratio,
+        "doc_quality": _doc_quality,
+        "dedup_exact": _dedup_exact,
+        "events_hourly": _events_hourly,
+        "events_user_sessions": _events_user_sessions,
+        "ann_topk": _ann_topk,
+        "ann_topk_ivf": _ann_topk_ivf,
+        "minhash_dup_pairs": _minhash_pairs,
+        "simhash_dup_pairs": _simhash_pairs,
+        "embedding_near_dups": _embedding_near_dups,
+        "scrub_documents": _scrub_documents,
+        "langid_documents": _langid_documents,
+        "doc_fingerprints": _doc_fingerprints,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "doc_length_stats": """
+            SELECT count(*) AS n_docs,
+                   round(avg(n_chars), 3) AS mean_chars,
+                   min(n_chars) AS min_chars,
+                   max(n_chars) AS max_chars,
+                   round(stddev_samp(n_chars), 3) AS std_chars
+            FROM documents
+        """,
+        "doc_minlen_filter": """
+            SELECT count(*) AS n_docs FROM documents WHERE length(text) >= 10
+        """,
+        "doc_lang_filter": """
+            SELECT lang, count(*) AS n_docs FROM documents
+            WHERE lang = 'en' GROUP BY lang
+        """,
+        "doc_source_counts": """
+            SELECT source, count(*) AS n_docs, sum(n_chars) AS sum_chars
+            FROM documents GROUP BY source
+        """,
+        "doc_top10_longest": """
+            SELECT doc_id, n_chars FROM documents
+            ORDER BY n_chars DESC, doc_id ASC LIMIT 10
+        """,
+        "doc_token_counts": """
+            SELECT source,
+                   sum(CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) AS n_tokens
+            FROM documents GROUP BY source
+        """,
+        "doc_alnum_ratio": """
+            SELECT source,
+                   round(avg(CASE WHEN length(text) = 0 THEN 0.0
+                             ELSE length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) * 1.0 / length(text) END), 4)
+                   AS avg_alnum
+            FROM documents GROUP BY source
+        """,
+        "doc_quality": """
+            SELECT doc_id,
+                   CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_words,
+                   round(CASE WHEN length(text) = 0 THEN 0.0
+                         ELSE length(regexp_replace(text, '[\\w\\s]', '', 'g')) * 1.0 / length(text) END, 4)
+                   AS punct_ratio
+            FROM documents ORDER BY doc_id
+        """,
+        "dedup_exact": """
+            SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+            FROM documents GROUP BY text ORDER BY doc_id
+        """,
+        "events_hourly": """
+            SELECT event_type,
+                   CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_bucket,
+                   count(*) AS n_events,
+                   round(sum(value), 3) AS sum_value
+            FROM events GROUP BY event_type, hour_bucket
+        """,
+        "events_user_sessions": """
+            WITH gaps AS (
+                SELECT user_id,
+                       CASE WHEN epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts) > 1800
+                            THEN 1 ELSE 0 END AS new_sess
+                FROM events
+            )
+            SELECT user_id, CAST(sum(new_sess) + 1 AS BIGINT) AS n_sessions
+            FROM gaps GROUP BY user_id ORDER BY user_id
+        """,
+        "ann_topk": f"""
+            WITH q AS (
+                SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+                FROM embeddings WHERE vec_id < {N_ANN_QUERIES}
+            ),
+            scored AS (
+                SELECT q.query_id, e.vec_id,
+                       list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])) AS raw
+                FROM q CROSS JOIN embeddings e
+            )
+            SELECT query_id, vec_id, round(raw, 4) AS score,
+                   CAST(row_number() OVER (PARTITION BY query_id ORDER BY raw DESC, vec_id ASC) AS BIGINT) AS rank
+            FROM scored
+            QUALIFY rank <= {ANN_K}
+            ORDER BY query_id, rank
+        """,
+        # minhash_dup_pairs / simhash_dup_pairs / embedding_near_dups /
+        # scrub_documents / langid_documents / doc_fingerprints /
+        # ann_topk_ivf: no SQL equivalent (sketches, model scoring,
+        # approximate search) -> rows-only checks.
+    }

@@ -1,0 +1,161 @@
+"""Benchmark harness.
+
+Default: one JSON line
+  {"metric": "...", "value": <headline sec>, "unit": "sec",
+   "queries": {...}, "sf": ..., "num_cpus": N, ...}
+
+Headline = flagship quality-filter + scrub pipeline over a deterministic
+synthetic code_files table (GRAFT_BENCH_ROWS rows, cached under /tmp),
+consumed by write_parquet + repo stats — i.e. read -> 5 map stages ->
+sink + one grouped aggregate. Per-query timings cover the SURVEY.md §2
+query surface over $GRAFT_SF_DIR.
+
+--scaling: same job in two fresh processes at num_cpus=8 and 32 on the
+same input; prints both throughputs and efficiency = (t8/t32)/4, and
+records them in BENCH/SCALING.json (summarized in BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+BENCH_ROWS = int(os.environ.get("GRAFT_BENCH_ROWS", "100000"))
+FIXTURE_DIR = Path(f"/tmp/graft_bench/code_{BENCH_ROWS}")
+SCRATCH = Path("/tmp/graft_bench/out")
+
+QUERY_NAMES = [
+    "doc_length_stats", "doc_source_counts", "doc_top10_longest",
+    "doc_token_counts", "dedup_exact", "events_hourly",
+    "events_user_sessions", "ann_topk", "minhash_dup_pairs",
+    "simhash_dup_pairs", "scrub_documents", "langid_documents",
+]
+
+
+def ensure_fixture() -> None:
+    marker = FIXTURE_DIR / "_COMPLETE"
+    if marker.exists():
+        return
+    from pipeline.synth.codegen import write_code_table
+
+    write_code_table(FIXTURE_DIR, BENCH_ROWS, n_files=32, use_ray=True)
+    marker.write_text("ok")
+
+
+def run_headline() -> dict:
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from pipeline.partition import repo_stats
+    from pipeline.ray_pipeline import flagship_pipeline
+
+    # warm page cache (untimed) so we measure compute, not first-touch IO
+    rd.read_parquet(str(FIXTURE_DIR)).count()
+
+    import shutil
+
+    out_dir = SCRATCH / f"scrubbed_{NUM_CPUS}"
+    if out_dir.exists():
+        shutil.rmtree(out_dir)
+
+    t0 = time.monotonic()
+    ds = rd.read_parquet(str(FIXTURE_DIR))
+    result = flagship_pipeline(ds)
+    kept = result.map_batches(
+        lambda t: t.filter(pc.equal(t["keep"], True)),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    kept.write_parquet(str(out_dir))
+    stats_df = repo_stats(rd.read_parquet(str(out_dir))).to_pandas()
+    wall = time.monotonic() - t0
+
+    n_bytes = sum(f.stat().st_size for f in FIXTURE_DIR.glob("*.parquet"))
+    return {
+        "headline_sec": wall,
+        "files_per_sec": BENCH_ROWS / wall,
+        "mb_per_sec": n_bytes / 1e6 / wall,
+        "n_repos": int(len(stats_df)),
+    }
+
+
+def run_queries() -> dict[str, float]:
+    import __ray_entry__ as entrymod
+
+    qs = entrymod.queries()
+    out: dict[str, float] = {}
+    for name in QUERY_NAMES:
+        t0 = time.monotonic()
+        res = qs[name](SF_DIR)
+        if hasattr(res, "to_pandas"):
+            res.to_pandas()
+        out[name] = round(time.monotonic() - t0, 3)
+    return out
+
+
+def main() -> None:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    ensure_fixture()
+    headline = run_headline()
+    queries = run_queries()
+    ray.shutdown()
+
+    print(json.dumps({
+        "metric": "flagship quality-filter+scrub wall time (read->langid->ppl->heuristics->scrub->decide->write + repo stats)",
+        "value": round(headline["headline_sec"], 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "bench_rows": BENCH_ROWS,
+        "files_per_sec": round(headline["files_per_sec"], 1),
+        "mb_per_sec": round(headline["mb_per_sec"], 2),
+    }))
+
+
+def run_scaling() -> None:
+    """Two-parallelism evidence (BASELINE.md target: efficiency >= 0.8)."""
+    results = {}
+    for ncpu in (8, 32):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, "bench.py"], env=env, capture_output=True,
+            text=True, check=True, cwd=os.path.dirname(os.path.abspath(__file__)) or ".",
+        ).stdout
+        results[ncpu] = json.loads(out.strip().splitlines()[-1])
+    t8, t32 = results[8]["value"], results[32]["value"]
+    eff = (t8 / t32) / (32 / 8)
+    summary = {
+        "sec_8": t8,
+        "sec_32": t32,
+        "files_per_sec_8": results[8]["files_per_sec"],
+        "files_per_sec_32": results[32]["files_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+        "bench_rows": results[32]["bench_rows"],
+    }
+    bench_dir = Path(__file__).resolve().parent / "BENCH"
+    bench_dir.mkdir(exist_ok=True)
+    (bench_dir / "SCALING.json").write_text(json.dumps(summary, indent=2))
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        run_scaling()
+    else:
+        main()

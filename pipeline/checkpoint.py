@@ -1,0 +1,135 @@
+"""Checkpoint-resume + per-partition lineage manifests (SURVEY.md §4.3).
+
+Output layout:
+    out/part-{pid:05d}/…parquet files…        (one dir per input shard)
+    out/_manifests/part-{pid:05d}.json        (written AFTER the data)
+
+Commit protocol (write-then-rename): a partition's parquet is written to
+`out/_tmp/part-XXXXX`, atomically renamed to its final directory, and only
+then is the manifest written. A manifest therefore implies durable data;
+resume = skip every partition with a manifest. A killed job restarts from
+the last committed partition (north rule).
+
+Manifest records the lineage: input files, row count, kept rows, bytes,
+a ledger hash (sha256 over the sorted per-row content_sha256 values — an
+order-insensitive content fingerprint), stage timings and engine version.
+
+Partitions are processed sequentially, each as its own streaming Dataset
+over the full cluster: granularity = resumability unit, chosen as a file
+group of ~GB scale at 100 TB (here: per fixture file).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import shutil
+import time
+from pathlib import Path
+
+import ray.data
+
+import pipeline
+from pipeline.ray_pipeline import flagship_pipeline
+
+
+def _ledger_hash(shas: list[str]) -> str:
+    h = hashlib.sha256()
+    for s in sorted(shas):
+        h.update(s.encode())
+    return h.hexdigest()
+
+
+def plan_partitions(input_files: list[str], files_per_partition: int = 1) -> list[list[str]]:
+    files = sorted(input_files)
+    return [
+        files[i: i + files_per_partition]
+        for i in range(0, len(files), files_per_partition)
+    ]
+
+
+def committed_partitions(out_dir: str | Path) -> dict[int, dict]:
+    mdir = Path(out_dir) / "_manifests"
+    out: dict[int, dict] = {}
+    if mdir.is_dir():
+        for p in sorted(mdir.glob("part-*.json")):
+            m = json.loads(p.read_text())
+            out[m["partition_id"]] = m
+    return out
+
+
+def run_partitioned(
+    input_files: list[str],
+    out_dir: str | Path,
+    *,
+    profile: str = "code",
+    files_per_partition: int = 1,
+    keep_only: bool = True,
+) -> dict:
+    """Run the flagship pipeline partition-by-partition with commit
+    manifests; skips already-committed partitions on rerun. Returns a
+    summary {partitions_run, partitions_skipped, total_rows}."""
+    out = Path(out_dir)
+    (out / "_manifests").mkdir(parents=True, exist_ok=True)
+    (out / "_tmp").mkdir(parents=True, exist_ok=True)
+    parts = plan_partitions(input_files, files_per_partition)
+    done = committed_partitions(out)
+    ran, skipped, total_rows = 0, 0, 0
+
+    for pid, files in enumerate(parts):
+        if pid in done:
+            skipped += 1
+            total_rows += done[pid]["n_rows"]
+            continue
+        t0 = time.monotonic()
+        ds = ray.data.read_parquet(files)
+        result = flagship_pipeline(ds, profile=profile)
+        if keep_only:
+            import pyarrow.compute as pc
+
+            result = result.map_batches(
+                lambda t: t.filter(pc.equal(t["keep"], True)),
+                batch_format="pyarrow", zero_copy_batch=True,
+            )
+        tmp = out / "_tmp" / f"part-{pid:05d}"
+        final = out / f"part-{pid:05d}"
+        if tmp.exists():
+            shutil.rmtree(tmp)  # stale half-write from a killed run
+        if final.exists():
+            shutil.rmtree(final)  # data without manifest = uncommitted
+        result.write_parquet(str(tmp))
+
+        committed = ray.data.read_parquet(str(tmp))
+        shas = [r["content_sha256"] for r in committed.select_columns(["content_sha256"]).take_all()]
+        n_rows = len(shas)
+
+        tmp.rename(final)  # atomic commit of the data...
+        manifest = {
+            "partition_id": pid,
+            "input_files": files,
+            "n_rows": n_rows,
+            "ledger_sha256": _ledger_hash(shas),
+            "wall_sec": round(time.monotonic() - t0, 3),
+            "engine_version": pipeline.__version__,
+            "profile": profile,
+            "keep_only": keep_only,
+        }
+        mpath = out / "_manifests" / f"part-{pid:05d}.json"
+        mtmp = mpath.with_suffix(".json.tmp")
+        mtmp.write_text(json.dumps(manifest, indent=2))
+        mtmp.rename(mpath)  # ...then of the manifest
+        ran += 1
+        total_rows += n_rows
+
+    return {"partitions_run": ran, "partitions_skipped": skipped, "total_rows": total_rows}
+
+
+def global_ledger(out_dir: str | Path) -> str:
+    """Order-insensitive fingerprint of the whole committed output —
+    equality across an interrupted+resumed run and an uninterrupted run is
+    the resume-correctness check (SURVEY.md §5.2.5)."""
+    manifests = committed_partitions(out_dir)
+    h = hashlib.sha256()
+    for pid in sorted(manifests):
+        h.update(manifests[pid]["ledger_sha256"].encode())
+    return h.hexdigest()

@@ -1,0 +1,5 @@
+"""Large-scale training-data operations beyond the reference's own
+operators (per the build charter): deduplication (exact, MinHash-LSH,
+SimHash, n-gram Jaccard, embedding-cosine), approximate similarity
+search, text analysis, and multimodal column plumbing (stubbed decode).
+"""

@@ -1,0 +1,192 @@
+"""Similarity search over an embedding column (list<float>).
+
+- Brute-force cosine top-k: the baseline. Query matrix broadcast ONCE via
+  ray.put; each map_batches task computes a float64 matmul against its
+  batch and emits only its per-query partial top-k (batch_size x k rows,
+  not batch_size x n_queries) — the driver merges tiny partials.
+- IVF variant (scale path): deterministic k-means-lite centroids on a
+  sample, bucket assignment as a map stage, search restricted to the
+  nprobe nearest buckets. Same output schema; recall measured vs
+  brute-force in tests.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+
+def _to_matrix(col) -> np.ndarray:
+    """list<float> / tensor-extension column -> (n, d) float64 matrix."""
+    arr = col
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if hasattr(arr, "values"):  # plain (Large/FixedSize)ListArray
+        flat = arr.values.to_numpy(zero_copy_only=False).astype(np.float64)
+        return flat.reshape(len(arr), -1)
+    # Ray ArrowTensorArray (from_pandas with ndarray cells) and friends
+    out = arr.to_numpy(zero_copy_only=False)
+    if out.dtype == object:
+        out = np.stack(out)
+    return out.astype(np.float64).reshape(len(arr), -1)
+
+
+def _norm_rows(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+def brute_force_topk(
+    ds: "ray.data.Dataset", queries: np.ndarray, query_ids: list[int], k: int = 10,
+    *, id_col: str = "vec_id", vec_col: str = "embedding",
+) -> pd.DataFrame:
+    """Exact cosine top-k of each query over the dataset.
+    Returns (query_id, vec_id, score, rank), rank 1..k, ties broken by
+    vec_id ascending (deterministic)."""
+    qn = _norm_rows(np.asarray(queries, dtype=np.float64))
+    q_ref = ray.put(qn)
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        q = ray.get(q_ref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        m = _norm_rows(_to_matrix(batch[vec_col]))
+        scores = q @ m.T  # n_q x n_batch
+        out_q, out_id, out_s = [], [], []
+        kk = min(k, scores.shape[1])
+        for qi in range(scores.shape[0]):
+            s = scores[qi]
+            # argpartition then exact sort of the head (score desc, id asc)
+            idx = np.argpartition(-s, kk - 1)[:kk]
+            order = np.lexsort((ids[idx], -s[idx]))
+            sel = idx[order]
+            out_q.extend([query_ids[qi]] * len(sel))
+            out_id.extend(ids[sel].tolist())
+            out_s.extend(s[sel].tolist())
+        return pa.table({"query_id": out_q, "vec_id": out_id, "score": out_s})
+
+    partials = ds.map_batches(
+        partial_topk, batch_format="pyarrow", batch_size=4096, zero_copy_batch=True,
+    ).to_pandas()
+    out = []
+    for qid, g in partials.groupby("query_id"):
+        g = g.sort_values(["score", "vec_id"], ascending=[False, True]).head(k)
+        g = g.assign(rank=np.arange(1, len(g) + 1))
+        out.append(g)
+    res = pd.concat(out).reset_index(drop=True)
+    return res[["query_id", "vec_id", "score", "rank"]]
+
+
+# ----------------------------------------------------------- IVF variant
+
+def kmeans_lite(sample: np.ndarray, n_clusters: int, n_iter: int = 8, seed: int = 42) -> np.ndarray:
+    """Deterministic Lloyd iterations on normalized vectors."""
+    rng = np.random.RandomState(seed)
+    sample = _norm_rows(sample)
+    cent = sample[rng.choice(len(sample), size=n_clusters, replace=False)].copy()
+    for _ in range(n_iter):
+        assign = (sample @ cent.T).argmax(axis=1)
+        for c in range(n_clusters):
+            members = sample[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    cent[c] = v / n
+    return cent
+
+
+def ivf_topk(
+    ds: "ray.data.Dataset", queries: np.ndarray, query_ids: list[int], k: int = 10,
+    *, n_clusters: int = 16, nprobe: int = 4, id_col: str = "vec_id",
+    vec_col: str = "embedding", sample_limit: int = 4096,
+) -> pd.DataFrame:
+    """Approximate top-k: centroids from a driver-side sample (small),
+    buckets pruned to the nprobe closest per query. Output schema matches
+    brute_force_topk."""
+    sample_tbl = ds.limit(sample_limit).to_pandas()
+    sample = np.stack(sample_tbl[vec_col].to_numpy()).astype(np.float64)
+    cent = kmeans_lite(sample, n_clusters)
+    cent_ref = ray.put(cent)
+    qn = _norm_rows(np.asarray(queries, dtype=np.float64))
+    probe = np.argsort(-(qn @ cent.T), axis=1)[:, :nprobe]  # n_q x nprobe
+    probe_sets = [set(p.tolist()) for p in probe]
+    q_ref = ray.put((qn, probe_sets))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        q, probes = ray.get(q_ref)
+        c = ray.get(cent_ref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        m = _norm_rows(_to_matrix(batch[vec_col]))
+        assign = (m @ c.T).argmax(axis=1)
+        out_q, out_id, out_s = [], [], []
+        for qi in range(q.shape[0]):
+            mask = np.isin(assign, list(probes[qi]))
+            if not mask.any():
+                continue
+            s = q[qi] @ m[mask].T
+            sub_ids = ids[mask]
+            kk = min(k, len(s))
+            idx = np.argpartition(-s, kk - 1)[:kk]
+            order = np.lexsort((sub_ids[idx], -s[idx]))
+            sel = idx[order]
+            out_q.extend([query_ids[qi]] * len(sel))
+            out_id.extend(sub_ids[sel].tolist())
+            out_s.extend(s[sel].tolist())
+        return pa.table(
+            {"query_id": pa.array(out_q, pa.int64()),
+             "vec_id": pa.array(out_id, pa.int64()),
+             "score": pa.array(out_s, pa.float64())}
+        )
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=4096, zero_copy_batch=True,
+    ).to_pandas()
+    out = []
+    for qid, g in partials.groupby("query_id"):
+        g = g.sort_values(["score", "vec_id"], ascending=[False, True]).head(k)
+        g = g.assign(rank=np.arange(1, len(g) + 1))
+        out.append(g)
+    if not out:
+        return pd.DataFrame(columns=["query_id", "vec_id", "score", "rank"])
+    res = pd.concat(out).reset_index(drop=True)
+    return res[["query_id", "vec_id", "score", "rank"]]
+
+
+def embedding_near_dup_pairs(
+    ds: "ray.data.Dataset", threshold: float = 0.95, *,
+    id_col: str = "vec_id", vec_col: str = "embedding", n_clusters: int = 16,
+) -> pd.DataFrame:
+    """Embedding-cosine near-dup: bucket by nearest centroid, exact cosine
+    within buckets only (per-group O(|bucket|^2), never global O(n^2))."""
+    sample_tbl = ds.limit(4096).to_pandas()
+    sample = np.stack(sample_tbl[vec_col].to_numpy()).astype(np.float64)
+    cent = kmeans_lite(sample, n_clusters)
+    cent_ref = ray.put(cent)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        m = _norm_rows(_to_matrix(batch[vec_col]))
+        a = (m @ c.T).argmax(axis=1)
+        return batch.append_column("_bucket", pa.array(a.astype(np.int32)))
+
+    bucketed = ds.map_batches(assign, batch_format="pyarrow", batch_size=4096)
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g[id_col].to_numpy()
+        m = _norm_rows(np.stack(g[vec_col].to_numpy()).astype(np.float64))
+        s = m @ m.T
+        out = []
+        n = len(ids)
+        for i in range(n):
+            for j in range(i + 1, n):
+                if s[i, j] >= threshold:
+                    a, b = sorted((int(ids[i]), int(ids[j])))
+                    out.append({"a": a, "b": b, "cosine": float(s[i, j])})
+        return pd.DataFrame(out, columns=["a", "b", "cosine"])
+
+    return bucketed.groupby("_bucket").map_groups(pairs, batch_format="pandas").to_pandas()

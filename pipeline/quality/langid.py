@@ -19,25 +19,44 @@ from __future__ import annotations
 import numpy as np
 
 from pipeline._util import rng_for
-from pipeline.synth.codelang import LANGS, make_snippet
+from pipeline.synth.codelang import LANGS, TEXT_LANGS, make_snippet
 
 D = 1 << 16
 SAMPLE_BYTES = 768
 _FIT_SNIPPETS = 120
 
 
-def trigram_counts(text: str) -> np.ndarray:
-    """Hashed byte-trigram count vector (float32, D buckets)."""
+def _tri_hashes(text: str) -> np.ndarray:
+    """Hashed byte-trigram bucket ids (multiplicative hash, deterministic)."""
     b = np.frombuffer(text[:SAMPLE_BYTES].encode("utf-8", "replace"), dtype=np.uint8)
     if b.size < 3:
-        return np.zeros(D, dtype=np.float32)
+        return np.empty(0, dtype=np.int64)
     codes = (
         b[:-2].astype(np.int64) * 65536
         + b[1:-1].astype(np.int64) * 256
         + b[2:].astype(np.int64)
     )
-    # multiplicative hash into D buckets (deterministic, no Python hash())
-    h = (codes * 2654435761) % D
+    return (codes * 2654435761) % D
+
+
+def sparse_features(text: str) -> tuple[np.ndarray, np.ndarray]:
+    """(bucket ids, L2-normalized counts) — the sparse unit feature vector.
+    Scoring gathers profile columns instead of densifying to D dims (the
+    dense bincount was the hot path: ~2 ms/doc vs ~0.1 ms sparse)."""
+    h = _tri_hashes(text)
+    if h.size == 0:
+        return h, np.empty(0, dtype=np.float32)
+    uniq, cnt = np.unique(h, return_counts=True)
+    w = cnt.astype(np.float32)
+    w /= np.linalg.norm(w)
+    return uniq, w
+
+
+def trigram_counts(text: str) -> np.ndarray:
+    """Dense count vector (fit-time only)."""
+    h = _tri_hashes(text)
+    if h.size == 0:
+        return np.zeros(D, dtype=np.float32)
     return np.bincount(h, minlength=D).astype(np.float32)
 
 
@@ -74,14 +93,17 @@ class LangIdModel:
                     make_snippet(lang, rng_for("langid-fit", lang, i), n_lines=30)
                     for i in range(_FIT_SNIPPETS)
                 ]
-                for lang in LANGS
+                for lang in LANGS + TEXT_LANGS
             }
             cls._default = cls.fit(samples)
         return cls._default
 
     def predict_batch(self, texts: list[str]) -> tuple[list[str], np.ndarray]:
-        feats = np.stack([_normalize(trigram_counts(t)) for t in texts])
-        scores = feats @ self.profiles.T  # N x L cosine
+        scores = np.zeros((len(texts), len(self.langs)), dtype=np.float32)
+        for i, t in enumerate(texts):
+            uniq, w = sparse_features(t)
+            if uniq.size:
+                scores[i] = self.profiles[:, uniq] @ w  # cosine via gather
         idx = scores.argmax(axis=1)
         # softmax confidence over cosine scores (temperature sharpens)
         z = np.exp((scores - scores.max(axis=1, keepdims=True)) * 12.0)

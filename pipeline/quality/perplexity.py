@@ -15,7 +15,7 @@ from __future__ import annotations
 import numpy as np
 
 from pipeline._util import rng_for
-from pipeline.synth.codelang import LANGS, make_snippet
+from pipeline.synth.codelang import LANGS, TEXT_LANGS, make_snippet
 
 V = 64
 SAMPLE_BYTES = 1024
@@ -63,7 +63,7 @@ class PerplexityModel:
         if cls._default is None:
             texts = [
                 make_snippet(lang, rng_for("ppl-fit", lang, i), n_lines=30)
-                for lang in LANGS
+                for lang in LANGS + TEXT_LANGS
                 for i in range(_FIT_SNIPPETS)
             ]
             cls._default = cls.fit(texts)

@@ -45,11 +45,15 @@ def heuristics_stage(batch: pa.Table, *, column: str = "content") -> pa.Table:
 
 
 class LangIdScorer:
-    """Actor-pool stage: model built once per actor, batches scored
-    vectorized. concurrency/num_cpus set at pipeline assembly."""
+    """Actor-pool stage. The model is fit ONCE on the driver and broadcast
+    via ray.put; each actor __init__ fetches it from the object store
+    (zero refit cost per actor — the broadcast-small-side pattern). With
+    no ref (standalone use) the actor fits the deterministic default."""
 
-    def __init__(self, column: str = "content"):
-        self.model = LangIdModel.default()
+    def __init__(self, column: str = "content", model_ref=None):
+        import ray as _ray
+
+        self.model = _ray.get(model_ref) if model_ref is not None else LangIdModel.default()
         self.column = column
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -60,8 +64,10 @@ class LangIdScorer:
 
 
 class PerplexityScorer:
-    def __init__(self, column: str = "content"):
-        self.model = PerplexityModel.default()
+    def __init__(self, column: str = "content", model_ref=None):
+        import ray as _ray
+
+        self.model = _ray.get(model_ref) if model_ref is not None else PerplexityModel.default()
         self.column = column
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -105,25 +111,50 @@ def decide_stage(batch: pa.Table, *, column: str = "content") -> pa.Table:
 
 # ------------------------------------------------------------- assembly
 
+def _default_pool_size() -> int:
+    """Actor-pool size per model stage: ~1/4 of cluster CPUs each, so the
+    two pools reserve at most half the cluster and the stateless task
+    stages (read, heuristics, scrub, decide, write) always have CPUs — a
+    pool that reserves every CPU deadlocks the streaming executor."""
+    import ray as _ray
+
+    try:
+        n = int(_ray.cluster_resources().get("CPU", 4))
+    except Exception:
+        n = 4
+    return max(1, n // 4)
+
+
 def flagship_pipeline(
     ds: "ray.data.Dataset",
     *,
     profile: str = "code",
     batch_size: int = DEFAULT_BATCH_SIZE,
-    langid_concurrency: int | tuple = (2, 8),
-    ppl_concurrency: int | tuple = (2, 8),
+    langid_concurrency: int | tuple | None = None,
+    ppl_concurrency: int | tuple | None = None,
 ) -> "ray.data.Dataset":
     """Assemble the full quality-filter + scrub graph (lazy)."""
+    import ray as _ray
+
+    if langid_concurrency is None:
+        langid_concurrency = _default_pool_size()
+    if ppl_concurrency is None:
+        ppl_concurrency = _default_pool_size()
+
+    lang_ref = _ray.put(LangIdModel.default())     # fit once, broadcast
+    ppl_ref = _ray.put(PerplexityModel.default())
     ds = ds.map_batches(
         heuristics_stage, batch_format="pyarrow", batch_size=batch_size,
         zero_copy_batch=True,
     )
     ds = ds.map_batches(
         LangIdScorer, batch_format="pyarrow", batch_size=batch_size,
+        fn_constructor_kwargs={"model_ref": lang_ref},
         concurrency=langid_concurrency, num_cpus=1, zero_copy_batch=True,
     )
     ds = ds.map_batches(
         PerplexityScorer, batch_format="pyarrow", batch_size=batch_size,
+        fn_constructor_kwargs={"model_ref": ppl_ref},
         concurrency=ppl_concurrency, num_cpus=1, zero_copy_batch=True,
     )
     ds = ds.map_batches(

@@ -13,6 +13,18 @@ import random
 
 LANGS = ["python", "javascript", "c", "java", "go", "markdown"]
 
+# natural-language class for prose/document tables: part of the langid /
+# perplexity training set but not of the code-file fixture languages
+TEXT_LANGS = ["en"]
+
+_EN_W = [
+    "the", "data", "query", "table", "row", "column", "value", "key",
+    "order", "join", "filter", "stream", "batch", "window", "merge",
+    "scan", "fast", "slow", "small", "big", "agg", "part", "spark",
+    "and", "with", "for", "from", "into", "over", "under", "about",
+    "system", "result", "index", "cache", "group", "sort", "limit",
+]
+
 _IDENT = [
     "data", "value", "result", "index", "count", "buffer", "config", "item",
     "node", "total", "offset", "handler", "parser", "stream", "cache",
@@ -118,6 +130,10 @@ def _line_markdown(r: random.Random) -> str:
     return f"See [{r.choice(_MD_W)}](docs/{_ident(r)}.md)."
 
 
+def _line_en(r: random.Random) -> str:
+    return " ".join(r.choices(_EN_W, k=r.randint(8, 16)))
+
+
 _LINE_FNS = {
     "python": _line_python,
     "javascript": _line_javascript,
@@ -125,6 +141,7 @@ _LINE_FNS = {
     "java": _line_java,
     "go": _line_go,
     "markdown": _line_markdown,
+    "en": _line_en,
 }
 
 EXT = {

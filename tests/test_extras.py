@@ -1,0 +1,175 @@
+"""Training-data ops: dedup (exact/MinHash/SimHash), ANN, textstats,
+multimodal plumbing."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+pytestmark = pytest.mark.usefixtures("ray_session")
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs_ds():
+    import ray.data as rd
+
+    return rd.read_parquet(f"{SF}/documents.parquet")
+
+
+def _dup_docs_ds():
+    """documents plus synthetic near/exact duplicates with known ids."""
+    import ray.data as rd
+
+    base = rd.read_parquet(f"{SF}/documents.parquet").to_pandas()
+    rows = base.head(20).copy()
+    exact = rows.iloc[:5].copy()
+    exact["doc_id"] = exact["doc_id"] + 100000  # exact dups of 0..4
+    near = rows.iloc[5:10].copy()
+    near["doc_id"] = near["doc_id"] + 200000
+    near["text"] = near["text"] + " trailing extra"
+    aug = pd.concat([base, exact, near]).reset_index(drop=True)
+    return rd.from_pandas(aug), exact, near
+
+
+def test_exact_dedup_stats():
+    ds, exact, _ = _dup_docs_ds()
+    from pipeline.extras.dedup import exact_dedup_stats
+
+    out = exact_dedup_stats(ds).to_pandas()
+    dup_rows = out[out["n_copies"] > 1]
+    assert set(dup_rows["doc_id"]) == set(exact["doc_id"] - 100000)
+    assert (dup_rows["n_copies"] == 2).all()
+
+
+def test_minhash_lsh_finds_planted_dups():
+    ds, exact, near = _dup_docs_ds()
+    from pipeline.extras.dedup import minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(ds, threshold=0.6).to_pandas()
+    got = set(zip(pairs["a"], pairs["b"]))
+    for _, row in exact.iterrows():
+        assert (row["doc_id"] - 100000, row["doc_id"]) in got
+    for _, row in near.iterrows():
+        assert (row["doc_id"] - 200000, row["doc_id"]) in got
+    assert (pairs["jaccard"] >= 0.6).all()
+
+
+def test_jaccard_semantics():
+    from pipeline.extras.dedup import jaccard
+
+    assert jaccard("a b c d e", "a b c d e") == 1.0
+    assert jaccard("a b c d e", "v w x y z") == 0.0
+    assert 0.0 < jaccard("a b c d e f", "a b c d e zz") < 1.0
+
+
+def test_simhash_finds_planted_near_dups():
+    ds, exact, near = _dup_docs_ds()
+    from pipeline.extras.dedup import simhash_pairs
+
+    pairs = simhash_pairs(ds, max_hamming=3).to_pandas()
+    got = set(zip(pairs["a"], pairs["b"]))
+    for _, row in exact.iterrows():
+        assert (row["doc_id"] - 100000, row["doc_id"]) in got
+    ham0 = pairs[pairs["hamming"] == 0]
+    assert len(ham0) >= len(exact)
+
+
+def test_brute_force_topk_matches_numpy():
+    import ray.data as rd
+
+    from pipeline.extras.ann import brute_force_topk
+
+    ds = rd.read_parquet(f"{SF}/embeddings.parquet")
+    df = ds.to_pandas()
+    m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    queries = m[:3]
+    got = brute_force_topk(ds, queries, [0, 1, 2], k=5)
+    for qi in range(3):
+        scores = mn @ mn[qi]
+        order = np.lexsort((df["vec_id"].values, -scores))[:5]
+        exp_ids = df["vec_id"].values[order].tolist()
+        g = got[got["query_id"] == qi].sort_values("rank")
+        assert g["vec_id"].tolist() == exp_ids
+        assert g["rank"].tolist() == [1, 2, 3, 4, 5]
+        assert abs(g["score"].iloc[0] - 1.0) < 1e-9  # self-match first
+
+
+def test_ivf_recall_vs_brute_force():
+    import ray.data as rd
+
+    from pipeline.extras.ann import brute_force_topk, ivf_topk
+
+    ds = rd.read_parquet(f"{SF}/embeddings.parquet")
+    df = ds.to_pandas()
+    queries = np.stack(df["embedding"].head(5).to_numpy()).astype(np.float64)
+    qids = list(range(5))
+    bf = brute_force_topk(ds, queries, qids, k=10)
+    ivf = ivf_topk(ds, queries, qids, k=10, n_clusters=8, nprobe=4)
+    recalls = []
+    for q in qids:
+        b = set(bf[bf["query_id"] == q]["vec_id"])
+        a = set(ivf[ivf["query_id"] == q]["vec_id"])
+        recalls.append(len(a & b) / len(b))
+    assert np.mean(recalls) >= 0.5, recalls  # nprobe=4/8 buckets
+
+
+def test_embedding_near_dup_pairs_finds_planted():
+    import ray.data as rd
+
+    from pipeline.extras.ann import embedding_near_dup_pairs
+
+    df = rd.read_parquet(f"{SF}/embeddings.parquet").to_pandas().head(100)
+    clone = df.head(3).copy()
+    clone["vec_id"] = clone["vec_id"] + 5000
+    aug = pd.concat([df, clone]).reset_index(drop=True)
+    pairs = embedding_near_dup_pairs(rd.from_pandas(aug), threshold=0.999)
+    got = set(zip(pairs["a"], pairs["b"]))
+    assert {(0, 5000), (1, 5001), (2, 5002)} <= got
+
+
+def test_textstats_token_counts(docs_ds):
+    from pipeline.extras.textstats import token_count_stage
+
+    out = docs_ds.map_batches(token_count_stage, batch_format="pyarrow").to_pandas()
+    df = docs_ds.to_pandas()
+    exp = df["text"].str.split().str.len()
+    assert (out.sort_values("doc_id")["n_tokens_ws"].values == exp.values).all()
+    assert (out["n_tokens_bpe"] >= out["n_tokens_ws"]).all()
+
+
+def test_fingerprint_order_sensitive():
+    from pipeline.extras.textstats import fingerprint
+
+    assert fingerprint("a b c") == fingerprint("a b c")
+    assert fingerprint("a b c") != fingerprint("c b a")
+    assert fingerprint("") == 0
+
+
+def test_multimodal_plumbing(tmp_path):
+    import ray.data as rd
+
+    from pipeline.extras.multimodal import (
+        decode_image_real,
+        make_fake_image,
+        media_pipeline,
+        write_media_table,
+    )
+
+    write_media_table(tmp_path / "media", 60, n_files=2)
+    ds = rd.read_parquet(str(tmp_path / "media"))
+    out = media_pipeline(ds, concurrency=2, batch_size=16).to_pandas()
+    assert len(out) == 60
+    assert out["decode_ok"].all()
+    assert (out["pixel_mean"] > 0).all()
+    assert "payload" not in out.columns  # binary dropped after decode
+    # deterministic features
+    p1, _ = make_fake_image(7)
+    p2, _ = make_fake_image(7)
+    assert p1 == p2
+    with pytest.raises(NotImplementedError):
+        decode_image_real(p1)

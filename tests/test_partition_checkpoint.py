@@ -1,0 +1,118 @@
+"""Wide-op + checkpoint/resume tests (SURVEY.md §5.2.4-5)."""
+
+from __future__ import annotations
+
+import json
+import shutil
+from pathlib import Path
+
+import pytest
+
+pytestmark = pytest.mark.usefixtures("ray_session")
+
+
+@pytest.fixture(scope="module")
+def code_fixture(tmp_path_factory):
+    from pipeline.synth.codegen import write_code_table
+
+    d = tmp_path_factory.mktemp("codefx") / "code"
+    write_code_table(d, 1200, n_files=6)
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def scrubbed_ds(code_fixture):
+    import ray.data as rd
+
+    from pipeline.ray_pipeline import flagship_pipeline
+
+    return flagship_pipeline(rd.read_parquet(code_fixture)).materialize()
+
+
+def test_repo_stats_match_pandas_oracle(scrubbed_ds):
+    from pipeline.partition import repo_stats
+
+    got = repo_stats(scrubbed_ds).to_pandas().sort_values("repo").reset_index(drop=True)
+    df = scrubbed_ds.to_pandas()
+    exp = (
+        df.assign(n_bytes=df["content"].str.encode("utf-8").str.len(), kept=df["keep"].astype(int))
+        .groupby("repo")
+        .agg(
+            n_files=("path", "size"),
+            n_bytes=("n_bytes", "sum"),
+            n_kept=("kept", "sum"),
+            n_sha=("content_sha256", "nunique"),
+        )
+        .reset_index()
+        .sort_values("repo")
+        .reset_index(drop=True)
+    )
+    assert (got["repo"] == exp["repo"]).all()
+    assert (got["n_files"].values == exp["n_files"].values).all()
+    assert (got["n_bytes"].values == exp["n_bytes"].values).all()
+    assert (got["n_kept"].values == exp["n_kept"].values).all()
+    assert (got["n_dup_content"].values == (exp["n_files"] - exp["n_sha"]).values).all()
+    assert ((got["keep_rate"] - exp["n_kept"] / exp["n_files"]).abs() < 1e-12).all()
+
+
+def test_exact_dedup_keeps_first(scrubbed_ds):
+    from pipeline.partition import exact_dedup
+
+    deduped = exact_dedup(scrubbed_ds).to_pandas()
+    df = scrubbed_ds.to_pandas()
+    assert deduped["content_sha256"].is_unique
+    assert len(deduped) == df["content_sha256"].nunique()
+    # winner is min (repo, path) per sha
+    exp_first = (
+        df.sort_values(["repo", "path"]).groupby("content_sha256").head(1)
+    )
+    got = deduped.sort_values("content_sha256")["repo"].tolist()
+    exp = exp_first.sort_values("content_sha256")["repo"].tolist()
+    assert got == exp
+
+
+def test_salted_group_counts(scrubbed_ds):
+    from pipeline.partition import salted_group_counts
+
+    got = salted_group_counts(scrubbed_ds, "repo").to_pandas().sort_values("repo")
+    exp = scrubbed_ds.to_pandas().groupby("repo").size()
+    assert dict(zip(got["repo"], got["n"])) == exp.to_dict()
+
+
+def test_zipfian_repo_skew_present(scrubbed_ds):
+    """Fixture must actually have hot repos so salting is exercised
+    (SURVEY.md §7.5.4)."""
+    sizes = scrubbed_ds.to_pandas().groupby("repo").size().sort_values()
+    assert sizes.iloc[-1] >= 8 * max(1, sizes.iloc[0])
+
+
+def test_checkpoint_resume(code_fixture, tmp_path):
+    import ray.data as rd  # noqa: F401
+
+    from pipeline.checkpoint import committed_partitions, global_ledger, run_partitioned
+
+    files = sorted(str(p) for p in Path(code_fixture).glob("*.parquet"))
+    out1 = tmp_path / "run_full"
+    s1 = run_partitioned(files, out1)
+    assert s1["partitions_run"] == len(files) and s1["partitions_skipped"] == 0
+    ledger_full = global_ledger(out1)
+
+    # interrupted run: delete half the partitions + their manifests
+    out2 = tmp_path / "run_interrupted"
+    shutil.copytree(out1, out2)
+    victims = [0, 2, 4]
+    for pid in victims:
+        shutil.rmtree(out2 / f"part-{pid:05d}")
+        (out2 / "_manifests" / f"part-{pid:05d}.json").unlink()
+    # also simulate a half-written tmp dir from the kill
+    (out2 / "_tmp" / "part-00000").mkdir(parents=True, exist_ok=True)
+
+    s2 = run_partitioned(files, out2)
+    assert s2["partitions_run"] == len(victims)
+    assert s2["partitions_skipped"] == len(files) - len(victims)
+    assert global_ledger(out2) == ledger_full
+    assert s2["total_rows"] == s1["total_rows"]
+
+    m = committed_partitions(out2)[0]
+    assert set(m) >= {"input_files", "n_rows", "ledger_sha256", "wall_sec", "engine_version"}
+    assert json.loads((out2 / "_manifests" / "part-00000.json").read_text())["partition_id"] == 0
