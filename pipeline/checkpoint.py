@@ -82,7 +82,9 @@ def run_partitioned(
             total_rows += done[pid]["n_rows"]
             continue
         t0 = time.monotonic()
-        ds = ray.data.read_parquet(files)
+        from pipeline.ray_pipeline import read_code_table
+
+        ds = read_code_table(files)
         result = flagship_pipeline(ds, profile=profile)
         if keep_only:
             import pyarrow.compute as pc

@@ -19,6 +19,7 @@ import hashlib
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data
 
@@ -102,59 +103,89 @@ def jaccard(a: str, b: str, k: int = 3) -> float:
     return len(sa & sb) / len(sa | sb)
 
 
+def _hot_bucket_members(
+    bands: "ray.data.Dataset", keys: list[str],
+) -> pd.DataFrame:
+    """Rows of `bands` whose bucket key appears >= 2 times.
+
+    Plan: groupby-count over the (small) key rows -> hot-key set broadcast
+    -> vectorized filter. Avoids a map_groups over the (mostly singleton)
+    full bucket space — at n docs x n_bands rows, all but a tiny duplicate
+    fraction of buckets are singletons, and per-group task overhead would
+    dominate (measured 43s -> ~3s on 5k docs). The hot-member set is small
+    by the same assumption (duplicate fraction << 1), so driver-side
+    pairing is safe; MAX_BUCKET caps degenerate buckets."""
+    import ray as _ray
+    from ray.data.aggregate import Count
+
+    counts = bands.groupby(keys).aggregate(Count(alias_name="n"))
+    hot = counts.map_batches(
+        lambda t: t.filter(pc.greater(t["n"], 1)),
+        batch_format="pyarrow",
+    ).to_pandas()
+    if hot.empty:
+        return pd.DataFrame(columns=bands.schema().names)
+    hot_keys = set(zip(*(hot[k] for k in keys)))
+    key_ref = _ray.put(hot_keys)
+
+    def filter_hot(batch: pa.Table) -> pa.Table:
+        hk = _ray.get(key_ref)
+        cols = [batch[k].to_pylist() for k in keys]
+        mask = [tuple(v) in hk for v in zip(*cols)]
+        return batch.filter(pa.array(mask))
+
+    return bands.map_batches(
+        filter_hot, batch_format="pyarrow", batch_size=8192
+    ).to_pandas()
+
+
+def _texts_for(ds, ids: set, id_col: str, text_col: str) -> dict:
+    """Fetch only the involved docs' texts (broadcast id set + filter),
+    never take_all() on the corpus."""
+    import ray as _ray
+
+    id_ref = _ray.put(ids)
+
+    def pick(batch: pa.Table) -> pa.Table:
+        want = _ray.get(id_ref)
+        mask = [v in want for v in batch[id_col].to_pylist()]
+        return batch.filter(pa.array(mask))
+
+    small = ds.select_columns([id_col, text_col]).map_batches(
+        pick, batch_format="pyarrow", batch_size=8192
+    ).to_pandas()
+    return dict(zip(small[id_col], small[text_col]))
+
+
 def minhash_lsh_pairs(
     ds: "ray.data.Dataset", *, id_col: str = "doc_id", text_col: str = "text",
     threshold: float = 0.6,
 ) -> "ray.data.Dataset":
     """Candidate pairs via LSH banding, verified with exact n-gram Jaccard.
     Returns (a, b, jaccard) with a < b, deduplicated."""
+    import ray.data as rd
+
     bands = ds.map_batches(
         lambda t: _band_rows(t, id_col, text_col),
         batch_format="pyarrow", batch_size=1024, zero_copy_batch=True,
     )
-
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+    members = _hot_bucket_members(bands, ["band", "band_hash"])
+    cand: set[tuple] = set()
+    for _, g in members.groupby(["band", "band_hash"], sort=False):
         ids = sorted(g["doc_id"].unique())[:MAX_BUCKET]
-        rows = [
-            {"a": ids[i], "b": ids[j]}
-            for i in range(len(ids))
-            for j in range(i + 1, len(ids))
-        ]
-        return pd.DataFrame(rows, columns=["a", "b"])
-
-    pairs = bands.groupby(["band", "band_hash"]).map_groups(
-        bucket_pairs, batch_format="pandas"
-    )
-    # dedup candidate pairs produced by multiple bands
-    uniq = pairs.groupby(["a", "b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
-    )
-
-    # verify: join texts back (small side broadcast — the candidate set is
-    # tiny relative to the corpus; texts fetched via a broadcast dict)
-    texts = {
-        r[id_col]: r[text_col]
-        for r in ds.select_columns([id_col, text_col]).take_all()
-    }
-    import ray as _ray
-
-    text_ref = _ray.put(texts)
-
-    class Verify:
-        def __init__(self):
-            self.texts = _ray.get(text_ref)
-
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            if len(batch) == 0:
-                return pd.DataFrame(columns=["a", "b", "jaccard"])
-            sims = [
-                jaccard(self.texts[a], self.texts[b])
-                for a, b in zip(batch["a"], batch["b"])
-            ]
-            batch = batch.assign(jaccard=sims)
-            return batch[batch["jaccard"] >= threshold][["a", "b", "jaccard"]]
-
-    return uniq.map_batches(Verify, batch_format="pandas", batch_size=512, concurrency=2)
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                cand.add((ids[i], ids[j]))
+    if not cand:
+        return rd.from_pandas(pd.DataFrame(columns=["a", "b", "jaccard"]))
+    involved = {x for p in cand for x in p}
+    texts = _texts_for(ds, involved, id_col, text_col)
+    rows = []
+    for a, b in sorted(cand):
+        j = jaccard(texts[a], texts[b])
+        if j >= threshold:
+            rows.append({"a": a, "b": b, "jaccard": j})
+    return rd.from_pandas(pd.DataFrame(rows, columns=["a", "b", "jaccard"]))
 
 
 # ------------------------------------------------------------- SimHash
@@ -201,20 +232,23 @@ def simhash_pairs(
             "simhash": pa.array(out_sim, pa.int64()),
         })
 
-    bands = ds.map_batches(sim_rows, batch_format="pyarrow", batch_size=1024)
+    import ray.data as rd
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+    bands = ds.map_batches(sim_rows, batch_format="pyarrow", batch_size=1024)
+    members = _hot_bucket_members(bands, ["band", "key"])
+    seen: dict[tuple, int] = {}
+    for _, g in members.groupby(["band", "key"], sort=False):
         recs = g.drop_duplicates("doc_id").sort_values("doc_id")[["doc_id", "simhash"]].values
-        rows = []
         for i in range(len(recs)):
             for j in range(i + 1, min(len(recs), i + MAX_BUCKET)):
+                pair = (int(recs[i][0]), int(recs[j][0]))
+                if pair in seen:
+                    continue
                 d = hamming64(int(recs[i][1]), int(recs[j][1]))
                 if d <= max_hamming:
-                    rows.append({"a": recs[i][0], "b": recs[j][0], "hamming": d})
-        return pd.DataFrame(rows, columns=["a", "b", "hamming"])
-
-    pairs = bands.groupby(["band", "key"]).map_groups(bucket_pairs, batch_format="pandas")
-    return pairs.groupby(["a", "b"]).map_groups(lambda g: g.head(1), batch_format="pandas")
+                    seen[pair] = d
+    rows = [{"a": a, "b": b, "hamming": d} for (a, b), d in sorted(seen.items())]
+    return rd.from_pandas(pd.DataFrame(rows, columns=["a", "b", "hamming"]))
 
 
 # ---------------------------------------------------------- exact dedup

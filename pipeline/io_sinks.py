@@ -1,0 +1,88 @@
+"""Secondary sources/sinks + split utilities (SURVEY.md S1/S2/S5, O1/O2).
+
+- JSONL: the reference's raw-corpus interchange format
+  [ref: pii_synth/generation.py:887-930 writer; build_datasets.py:19-27
+  reader] -> ray.data write_json / read_json.
+- CoNLL: token<TAB>LABEL lines, blank line between docs
+  [ref: pii_synth/write_conll.py:8-29] — debug sink over the BILOU view.
+- splits: seeded global shuffle + proportional split
+  [ref: build_datasets.py:124-133; ratios config_and_labels.py:7-8] and
+  the scale-path deterministic hash split (no shuffle).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+import ray.data
+
+from pipeline._util import stable_hash
+from pipeline.detect.spans import Span, spans_to_bilou
+
+TRAIN_RATIO = 0.8  # [ref: config_and_labels.py:7-8]
+VAL_RATIO = 0.1
+
+
+def write_jsonl(ds: "ray.data.Dataset", out_dir: str) -> None:
+    """S1: one JSON object per line (ray.data JSON sink writes JSONL)."""
+    ds.write_json(out_dir)
+
+
+def read_jsonl(path: str) -> "ray.data.Dataset":
+    """S2: JSONL reader."""
+    return ray.data.read_json(path)
+
+
+def conll_stage(batch: pa.Table, *, text_col: str = "text", spans_col: str = "spans") -> pa.Table:
+    """Render each doc as a CoNLL block: token\\tLABEL lines, blank line
+    after each doc [write_conll.py:8-29 semantics; -100 special positions
+    don't exist here — whitespace tokens only]."""
+    blocks = []
+    texts = batch[text_col].to_pylist()
+    all_spans = batch[spans_col].to_pylist()
+    for text, spans in zip(texts, all_spans):
+        sp = [Span(s["start"], s["end"], s["label"]) for s in spans]
+        tokens, labels = spans_to_bilou(text, sp)
+        blocks.append("\n".join(f"{t}\t{lb}" for t, lb in zip(tokens, labels)) + "\n")
+    return pa.table({"conll": blocks})
+
+
+def write_conll(ds: "ray.data.Dataset", out_dir: str) -> None:
+    """S5: CoNLL debug sink (text rows; one blank-line-terminated block per
+    doc)."""
+    ds.map_batches(conll_stage, batch_format="pyarrow").write_csv(out_dir)
+
+
+def shuffle_split(
+    ds: "ray.data.Dataset", seed: int = 42,
+    train: float = TRAIN_RATIO, val: float = VAL_RATIO,
+) -> tuple["ray.data.Dataset", "ray.data.Dataset", "ray.data.Dataset"]:
+    """O1+O2: seeded global shuffle then contiguous 80/10/10 split —
+    fixture-scale only (random_shuffle is an all-to-all exchange)."""
+    shuffled = ds.random_shuffle(seed=seed)
+    tr, va, te = shuffled.split_proportionately([train, val])
+    return tr, va, te
+
+
+def hash_split_column(
+    ds: "ray.data.Dataset", key_col: str, seed: int = 42,
+    train: float = TRAIN_RATIO, val: float = VAL_RATIO,
+) -> "ray.data.Dataset":
+    """Scale path for O2: deterministic per-row split assignment from a
+    keyed hash — no shuffle, stable under any parallelism; filter by the
+    `split` column downstream (or pass partition_cols=['split'] to the
+    parquet sink)."""
+    t_cut, v_cut = int(train * 1000), int((train + val) * 1000)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        buckets = [
+            stable_hash(seed, "split", v) % 1000
+            for v in batch[key_col].to_pylist()
+        ]
+        split = [
+            "train" if b < t_cut else "val" if b < v_cut else "test"
+            for b in buckets
+        ]
+        return batch.append_column("split", pa.array(split, pa.string()))
+
+    return ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)

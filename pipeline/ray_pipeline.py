@@ -35,6 +35,18 @@ from pipeline.quality.perplexity import PerplexityModel
 DEFAULT_BATCH_SIZE = 1024  # moderate: wide `content` strings (SURVEY.md §4.2)
 
 
+def read_code_table(path: str | list[str], **kwargs) -> "ray.data.Dataset":
+    """read_parquet with a block count sized to the cluster (~2 blocks per
+    CPU): the default splitting follows the file count, which serializes
+    the pipeline head when files are few and large. [S9]"""
+    import ray as _ray
+
+    if "override_num_blocks" not in kwargs:
+        n_cpus = int(_ray.cluster_resources().get("CPU", 8))
+        kwargs["override_num_blocks"] = max(16, 2 * n_cpus)
+    return ray.data.read_parquet(path, **kwargs)
+
+
 # --------------------------------------------------------------- stages
 
 def heuristics_stage(batch: pa.Table, *, column: str = "content") -> pa.Table:
@@ -76,18 +88,40 @@ class PerplexityScorer:
         return batch.append_column("perplexity", pa.array(ppl))
 
 
+# Conservative candidate prescreen for the code profile: a row with no
+# trigger cannot match any code-profile pattern (every pattern needs '@',
+# a 3-digit run, a dotted quad, or a secret keyword), so the Python-side
+# detector is skipped for it. Arrow's RE2 scan is ~20x cheaper per byte.
+_CODE_TRIGGER = (
+    r"@|\d{3}[-.]\d|\(\d{3}\)|\+\d|\d{9}|\d+\.\d+\.\d+\.\d+|AKIA|gh[pousr]_"
+    r"|(?i:api[_-]?key|secret|token|password|passwd)\s*[:=]\s*[\"']?[A-Za-z0-9_\-]{12}"
+)
+
+
 def scrub_stage(batch: pa.Table, *, column: str = "content", profile: str = "code") -> pa.Table:
     """Stateless scrub: compiled-regex detection + [LABEL] redaction +
     sha256 (the per-row parity invariant)."""
+    import pyarrow.compute as pc
+
     texts = batch[column].to_pylist()
-    n_spans = np.empty(len(texts), dtype=np.int64)
-    scrubbed: list[str] = []
-    hashes: list[str] = []
+    n = len(texts)
+    if profile == "code":
+        triggered = pc.match_substring_regex(
+            batch[column], _CODE_TRIGGER
+        ).to_numpy(zero_copy_only=False)
+    else:
+        triggered = np.ones(n, dtype=bool)
+    n_spans = np.zeros(n, dtype=np.int64)
+    scrubbed: list[str] = [""] * n
+    hashes: list[str] = [""] * n
     for i, t in enumerate(texts):
-        s, spans = scrub_text(t, profile)
-        n_spans[i] = len(spans)
-        scrubbed.append(s)
-        hashes.append(sha256_hex(s))
+        if triggered[i]:
+            s, spans = scrub_text(t, profile)
+            n_spans[i] = len(spans)
+        else:
+            s = t
+        scrubbed[i] = s
+        hashes[i] = sha256_hex(s)
     batch = batch.append_column("n_pii_spans", pa.array(n_spans))
     batch = batch.append_column("content_scrubbed", pa.array(scrubbed, pa.string()))
     return batch.append_column("content_sha256", pa.array(hashes, pa.string()))
