@@ -186,6 +186,58 @@ def _doc_quality(sf_dir: str) -> pd.DataFrame:
     return df
 
 
+def _doc_len_histogram(sf_dir: str) -> pd.DataFrame:
+    """A4: sequence-length histogram buckets [model.ipynb cell 9;
+    synth_checks.ipynb cell 3] — per-batch bucket counts + Sum."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        b = pc.cast(pc.floor(pc.divide(batch["n_chars"], 100)), pa.int64())
+        return pa.table({"bucket": b})
+
+    out = (
+        _docs(sf_dir)
+        .map_batches(bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .aggregate(Count(alias_name="n_docs"))
+    )
+    return out.to_pandas().sort_values("bucket").reset_index(drop=True)
+
+
+def _orders_by_nation(sf_dir: str) -> pd.DataFrame:
+    """Broadcast join (SURVEY.md §2.4): orders x customer x nation with
+    both dimension tables ray.put once; grouped revenue per nation."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    from pipeline.partition import broadcast_join
+
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).to_pandas()
+    nation = rd.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).to_pandas().rename(columns={"n_nationkey": "c_nationkey"})
+    dim = cust.merge(nation, on="c_nationkey").rename(columns={"o_custkey": "c_custkey"})
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+    joined = broadcast_join(
+        orders.map_batches(
+            lambda t: t.rename_columns(["c_custkey", "o_totalprice"]),
+            batch_format="pyarrow",
+        ),
+        dim, on="c_custkey", columns=["n_name"],
+    )
+    out = joined.groupby("n_name").aggregate(
+        Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="total_price")
+    )
+    df = out.to_pandas()
+    df["total_price"] = df["total_price"].round(2)
+    return df.sort_values("n_name").reset_index(drop=True)
+
+
 def _dedup_exact(sf_dir: str) -> pd.DataFrame:
     """§2.7 exact dedup stats: first doc id + copy count per distinct text."""
     from pipeline.extras.dedup import exact_dedup_stats
@@ -375,6 +427,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_token_counts": _doc_token_counts,
         "doc_alnum_ratio": _doc_alnum_ratio,
         "doc_quality": _doc_quality,
+        "doc_len_histogram": _doc_len_histogram,
+        "orders_by_nation": _orders_by_nation,
         "dedup_exact": _dedup_exact,
         "events_hourly": _events_hourly,
         "events_user_sessions": _events_user_sessions,
@@ -435,6 +489,19 @@ def oracle_sql() -> dict[str, str]:
                          ELSE length(regexp_replace(text, '[\\w\\s]', '', 'g')) * 1.0 / length(text) END, 4)
                    AS punct_ratio
             FROM documents ORDER BY doc_id
+        """,
+        "doc_len_histogram": """
+            SELECT CAST(floor(n_chars / 100) AS BIGINT) AS bucket,
+                   count(*) AS n_docs
+            FROM documents GROUP BY bucket ORDER BY bucket
+        """,
+        "orders_by_nation": """
+            SELECT n.n_name AS n_name, count(*) AS n_orders,
+                   round(sum(o.o_totalprice), 2) AS total_price
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY n.n_name ORDER BY n_name
         """,
         "dedup_exact": """
             SELECT min(doc_id) AS doc_id, count(*) AS n_copies

@@ -55,6 +55,16 @@ _STOPWORDS = {
 }
 
 
+def truncate_stage(
+    batch: pa.Table, *, text_col: str = "text", n_chars: int = 200,
+    out_col: str = "text_preview",
+) -> pa.Table:
+    """M27: diagnostics projection — first n chars of each doc
+    [ref: evaluation/model_evaluation.py:288 text[:200]], vectorized."""
+    prev = pc.utf8_slice_codeunits(batch[text_col], 0, n_chars)
+    return batch.append_column(out_col, prev)
+
+
 def quality_stage(batch: pa.Table, *, text_col: str = "text") -> pa.Table:
     """Length / punctuation / stopword-ratio quality signals (the
     text-analysis analog of quality/heuristics for prose)."""

@@ -69,6 +69,20 @@ def _prf(tp: int, fp: int, fn: int) -> dict:
     return {"precision": p, "recall": r, "f1": f1, "support": tp + fn}
 
 
+def token_accuracy(
+    text: str, truth: list[Span], pred: list[Span]
+) -> tuple[int, int]:
+    """A5: token-level accuracy partials — (n_correct, n_tokens) over the
+    whitespace-word BILOU view [ref: model.ipynb cell 24 sklearn accuracy
+    over flattened labels]. Mergeable by summation."""
+    from pipeline.detect.spans import spans_to_bilou
+
+    _, lt = spans_to_bilou(text, truth)
+    _, lp = spans_to_bilou(text, pred)
+    correct = sum(a == b for a, b in zip(lt, lp))
+    return correct, len(lt)
+
+
 def finalize(counts: SpanCounts) -> dict:
     """Micro metrics + per-label report + entity-count diagnostics."""
     tp, fp, fn = sum(counts.tp.values()), sum(counts.fp.values()), sum(counts.fn.values())

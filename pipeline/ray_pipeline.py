@@ -98,6 +98,28 @@ _CODE_TRIGGER = (
 )
 
 
+class QualityScorer:
+    """Fused langid+perplexity actor stage: one actor-pool boundary instead
+    of two (each boundary costs an object-store write+read of the whole
+    batch). Both models broadcast via ray.put. The separate LangIdScorer /
+    PerplexityScorer stages remain available (fuse_scorers=False)."""
+
+    def __init__(self, column: str = "content", lang_ref=None, ppl_ref=None):
+        import ray as _ray
+
+        self.lang = _ray.get(lang_ref) if lang_ref is not None else LangIdModel.default()
+        self.ppl = _ray.get(ppl_ref) if ppl_ref is not None else PerplexityModel.default()
+        self.column = column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.column].to_pylist()
+        langs, conf = self.lang.predict_batch(texts)
+        ppl = self.ppl.score_batch(texts)
+        batch = batch.append_column("lang_pred", pa.array(langs, pa.string()))
+        batch = batch.append_column("lang_conf", pa.array(conf.astype(np.float64)))
+        return batch.append_column("perplexity", pa.array(ppl))
+
+
 def scrub_stage(batch: pa.Table, *, column: str = "content", profile: str = "code") -> pa.Table:
     """Stateless scrub: compiled-regex detection + [LABEL] redaction +
     sha256 (the per-row parity invariant)."""
@@ -166,12 +188,13 @@ def flagship_pipeline(
     batch_size: int = DEFAULT_BATCH_SIZE,
     langid_concurrency: int | tuple | None = None,
     ppl_concurrency: int | tuple | None = None,
+    fuse_scorers: bool = True,
 ) -> "ray.data.Dataset":
     """Assemble the full quality-filter + scrub graph (lazy)."""
     import ray as _ray
 
     if langid_concurrency is None:
-        langid_concurrency = _default_pool_size()
+        langid_concurrency = _default_pool_size() * (2 if fuse_scorers else 1)
     if ppl_concurrency is None:
         ppl_concurrency = _default_pool_size()
 
@@ -181,16 +204,23 @@ def flagship_pipeline(
         heuristics_stage, batch_format="pyarrow", batch_size=batch_size,
         zero_copy_batch=True,
     )
-    ds = ds.map_batches(
-        LangIdScorer, batch_format="pyarrow", batch_size=batch_size,
-        fn_constructor_kwargs={"model_ref": lang_ref},
-        concurrency=langid_concurrency, num_cpus=1, zero_copy_batch=True,
-    )
-    ds = ds.map_batches(
-        PerplexityScorer, batch_format="pyarrow", batch_size=batch_size,
-        fn_constructor_kwargs={"model_ref": ppl_ref},
-        concurrency=ppl_concurrency, num_cpus=1, zero_copy_batch=True,
-    )
+    if fuse_scorers:
+        ds = ds.map_batches(
+            QualityScorer, batch_format="pyarrow", batch_size=batch_size,
+            fn_constructor_kwargs={"lang_ref": lang_ref, "ppl_ref": ppl_ref},
+            concurrency=langid_concurrency, num_cpus=1, zero_copy_batch=True,
+        )
+    else:
+        ds = ds.map_batches(
+            LangIdScorer, batch_format="pyarrow", batch_size=batch_size,
+            fn_constructor_kwargs={"model_ref": lang_ref},
+            concurrency=langid_concurrency, num_cpus=1, zero_copy_batch=True,
+        )
+        ds = ds.map_batches(
+            PerplexityScorer, batch_format="pyarrow", batch_size=batch_size,
+            fn_constructor_kwargs={"model_ref": ppl_ref},
+            concurrency=ppl_concurrency, num_cpus=1, zero_copy_batch=True,
+        )
     ds = ds.map_batches(
         scrub_stage, batch_format="pyarrow", batch_size=batch_size,
         fn_kwargs={"profile": profile}, zero_copy_batch=True,

@@ -1,0 +1,51 @@
+"""Metrics: span-F1 partial+final (A1/A2/A3), token accuracy (A5),
+truncation projector (M27)."""
+
+from __future__ import annotations
+
+from pipeline.detect.spans import Span
+from pipeline.metrics import SpanCounts, finalize, token_accuracy
+
+
+def test_span_counts_merge_and_finalize():
+    a, b = SpanCounts(), SpanCounts()
+    truth = [Span(0, 5, "EMAIL"), Span(10, 15, "PHONE")]
+    pred_good = [Span(0, 5, "EMAIL"), Span(10, 15, "PHONE")]
+    pred_bad = [Span(0, 5, "EMAIL"), Span(20, 25, "SSN")]
+    a.update(truth, pred_good)
+    b.update(truth, pred_bad)
+    merged = a.merge(b)
+    rep = finalize(merged)
+    # 4 true spans total, 3 TP, 1 FP (SSN), 1 FN (PHONE)
+    assert rep["entity_counts"] == {"true_entities": 4, "predicted_entities": 4}
+    assert rep["per_label"]["EMAIL"]["f1"] == 1.0
+    assert rep["per_label"]["PHONE"]["recall"] == 0.5
+    assert rep["per_label"]["SSN"]["precision"] == 0.0
+    m = rep["micro"]
+    assert abs(m["precision"] - 0.75) < 1e-9 and abs(m["recall"] - 0.75) < 1e-9
+
+
+def test_span_counts_arrow_row_round_trip():
+    sc = SpanCounts()
+    sc.update([Span(0, 3, "SSN")], [Span(0, 3, "SSN"), Span(5, 8, "AGE")])
+    back = SpanCounts.from_rows([sc.as_row()])
+    assert back.tp == sc.tp and back.fp == sc.fp and back.fn == sc.fn
+
+
+def test_token_accuracy():
+    text = "mail me at a@b.com today"
+    truth = [Span(11, 18, "EMAIL")]
+    correct, total = token_accuracy(text, truth, truth)
+    assert (correct, total) == (5, 5)
+    correct2, _ = token_accuracy(text, truth, [])
+    assert correct2 == 4  # one mislabeled token
+
+
+def test_truncate_stage():
+    import pyarrow as pa
+
+    from pipeline.extras.textstats import truncate_stage
+
+    t = pa.table({"text": ["x" * 500, "short"]})
+    out = truncate_stage(t)
+    assert out["text_preview"].to_pylist() == ["x" * 200, "short"]

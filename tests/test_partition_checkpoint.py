@@ -116,3 +116,12 @@ def test_checkpoint_resume(code_fixture, tmp_path):
     m = committed_partitions(out2)[0]
     assert set(m) >= {"input_files", "n_rows", "ledger_sha256", "wall_sec", "engine_version"}
     assert json.loads((out2 / "_manifests" / "part-00000.json").read_text())["partition_id"] == 0
+
+
+def test_repo_stats_groupby_variant_matches(scrubbed_ds):
+    from pipeline.partition import repo_stats
+
+    a = repo_stats(scrubbed_ds).to_pandas().sort_values("repo").reset_index(drop=True)
+    b = repo_stats(scrubbed_ds, use_ray_groupby=True).to_pandas().sort_values("repo").reset_index(drop=True)
+    for col in ["repo", "n_files", "n_bytes", "n_kept", "n_dup_content"]:
+        assert (a[col].values == b[col].values).all(), col
