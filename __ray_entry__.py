@@ -297,6 +297,26 @@ def _events_user_sessions(sf_dir: str) -> pd.DataFrame:
     return out.to_pandas().sort_values("user_id").reset_index(drop=True)
 
 
+def _events_lag(sf_dir: str) -> pd.DataFrame:
+    """Per-key ordered window (lag): previous event's value for the same
+    user — the as-of/ordered-log pattern: groupby(key).map_groups over
+    ts-sorted groups (Ray guide 'streaming-shaped workloads')."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
+    )
+
+    def lag(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        g["prev_value"] = g["value"].shift(1).round(3)
+        return g[["event_id", "prev_value"]]
+
+    out = ds.groupby("user_id").map_groups(lag, batch_format="pandas")
+    df = out.to_pandas().sort_values("event_id").reset_index(drop=True)
+    return df
+
+
 N_ANN_QUERIES = 5
 ANN_K = 10
 
@@ -432,6 +452,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": _dedup_exact,
         "events_hourly": _events_hourly,
         "events_user_sessions": _events_user_sessions,
+        "events_lag": _events_lag,
         "ann_topk": _ann_topk,
         "ann_topk_ivf": _ann_topk_ivf,
         "minhash_dup_pairs": _minhash_pairs,
@@ -523,6 +544,11 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT user_id, CAST(sum(new_sess) + 1 AS BIGINT) AS n_sessions
             FROM gaps GROUP BY user_id ORDER BY user_id
+        """,
+        "events_lag": """
+            SELECT event_id,
+                   round(lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 3) AS prev_value
+            FROM events ORDER BY event_id
         """,
         "ann_topk": f"""
             WITH q AS (

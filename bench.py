@@ -27,7 +27,8 @@ from pathlib import Path
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 BENCH_ROWS = int(os.environ.get("GRAFT_BENCH_ROWS", "100000"))
-FIXTURE_DIR = Path(f"/tmp/graft_bench/code_{BENCH_ROWS}")
+BENCH_LINES = int(os.environ.get("GRAFT_BENCH_LINES", "40"))
+FIXTURE_DIR = Path(f"/tmp/graft_bench/code_{BENCH_ROWS}_l{BENCH_LINES}")
 SCRATCH = Path("/tmp/graft_bench/out")
 
 QUERY_NAMES = [
@@ -44,7 +45,7 @@ def ensure_fixture() -> None:
         return
     from pipeline.synth.codegen import write_code_table
 
-    write_code_table(FIXTURE_DIR, BENCH_ROWS, n_files=32, use_ray=True)
+    write_code_table(FIXTURE_DIR, BENCH_ROWS, n_files=32, use_ray=True, lines=BENCH_LINES)
     marker.write_text("ok")
 
 
@@ -169,11 +170,15 @@ def main() -> None:
 def run_scaling() -> None:
     """Two-parallelism evidence (BASELINE.md target: efficiency >= 0.8)."""
     results = {}
-    scaling_rows = os.environ.get("GRAFT_SCALING_ROWS", "500000")
+    # realistic file sizes (~3 KB) so compute dominates per-job overheads,
+    # matching the 100 TB scenario better than the tiny unit-test rows
+    scaling_rows = os.environ.get("GRAFT_SCALING_ROWS", "400000")
+    scaling_lines = os.environ.get("GRAFT_SCALING_LINES", "160")
     for ncpu in (8, 32):
         env = dict(
             os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_BENCH_QUERIES="0",
             GRAFT_BENCH_WARM="1", GRAFT_BENCH_ROWS=scaling_rows,
+            GRAFT_BENCH_LINES=scaling_lines,
         )
         out = subprocess.run(
             [sys.executable, "bench.py"], env=env, capture_output=True,

@@ -104,14 +104,18 @@ class QualityScorer:
     batch). Both models broadcast via ray.put. The separate LangIdScorer /
     PerplexityScorer stages remain available (fuse_scorers=False)."""
 
-    def __init__(self, column: str = "content", lang_ref=None, ppl_ref=None):
+    def __init__(self, column: str = "content", lang_ref=None, ppl_ref=None,
+                 with_heuristics: bool = False):
         import ray as _ray
 
         self.lang = _ray.get(lang_ref) if lang_ref is not None else LangIdModel.default()
         self.ppl = _ray.get(ppl_ref) if ppl_ref is not None else PerplexityModel.default()
         self.column = column
+        self.with_heuristics = with_heuristics
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.with_heuristics:
+            batch = heuristics_stage(batch, column=self.column)
         texts = batch[self.column].to_pylist()
         langs, conf = self.lang.predict_batch(texts)
         ppl = self.ppl.score_batch(texts)

@@ -74,7 +74,9 @@ def _defect(r: random.Random, content: str) -> str:
     return "\n".join(gib[i: i + 60] for i in range(0, 600, 60))
 
 
-def make_code_row(row_id: int, seed: int = 42) -> dict:
+def make_code_row(row_id: int, seed: int = 42, lines: int = 40) -> dict:
+    """One deterministic code-file row; `lines` scales typical file size
+    (default ~750 B; real source files are KBs — bench scaling uses more)."""
     r = rng_for(seed, "code", row_id)
     lang = r.choice(LANGS)
     repo = _repo_for(r)
@@ -87,9 +89,9 @@ def make_code_row(row_id: int, seed: int = 42) -> dict:
         # across rows that draw the same dup_id -> cross-repo duplicates)
         dup_id = r.randint(0, 199)
         rd = rng_for(seed, "dup-content", dup_id)
-        content = make_snippet(r.choice(LANGS), rd, n_lines=18)
+        content = make_snippet(r.choice(LANGS), rd, n_lines=lines // 2)
     else:
-        content = make_snippet(lang, r, n_lines=r.randint(8, 40))
+        content = make_snippet(lang, r, n_lines=r.randint(lines // 5, lines))
         if r.random() < PII_FRACTION:
             lines = content.split("\n")
             pos = r.randint(0, len(lines))
@@ -106,14 +108,14 @@ def make_code_row(row_id: int, seed: int = 42) -> dict:
     }
 
 
-def code_batch(row_ids, seed: int = 42) -> pa.Table:
-    rows = [make_code_row(int(i), seed) for i in row_ids]
+def code_batch(row_ids, seed: int = 42, lines: int = 40) -> pa.Table:
+    rows = [make_code_row(int(i), seed, lines) for i in row_ids]
     return pa.table({k: [row[k] for row in rows] for k in rows[0]})
 
 
 def write_code_table(
     out_dir: str | Path, n_rows: int, seed: int = 42, n_files: int = 8,
-    use_ray: bool = False,
+    use_ray: bool = False, lines: int = 40,
 ) -> str:
     """Write the fixture as MULTIPLE parquet files so read_parquet
     parallelizes (SURVEY.md §4.2 'input layout')."""
@@ -124,7 +126,7 @@ def write_code_table(
 
         ds = rd.range(n_rows, override_num_blocks=n_files)
         ds = ds.map_batches(
-            lambda b: code_batch(b["id"].to_numpy().tolist(), seed),
+            lambda b: code_batch(b["id"].to_numpy().tolist(), seed, lines),
             batch_format="pyarrow", batch_size=4096, zero_copy_batch=True,
         )
         ds.write_parquet(str(out))
@@ -134,5 +136,5 @@ def write_code_table(
             ids = range(f * per, min((f + 1) * per, n_rows))
             if not ids:
                 break
-            pq.write_table(code_batch(ids, seed), out / f"part-{f:05d}.parquet")
+            pq.write_table(code_batch(ids, seed, lines), out / f"part-{f:05d}.parquet")
     return str(out)
