@@ -238,6 +238,25 @@ def _orders_by_nation(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("n_name").reset_index(drop=True)
 
 
+def _orders_customer_join(sf_dir: str) -> pd.DataFrame:
+    """Hash-partitioned large-large join (ray.data Dataset.join): row-level
+    orders x customer."""
+    import ray.data as rd
+
+    from pipeline.partition import hash_join
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_totalprice"]
+    )
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    )
+    joined = hash_join(orders, cust, on="o_custkey", right_on="c_custkey")
+    df = joined.select_columns(["o_orderkey", "c_name", "o_totalprice"]).to_pandas()
+    df["o_totalprice"] = df["o_totalprice"].round(2)
+    return df.sort_values("o_orderkey").reset_index(drop=True)
+
+
 def _dedup_exact(sf_dir: str) -> pd.DataFrame:
     """§2.7 exact dedup stats: first doc id + copy count per distinct text."""
     from pipeline.extras.dedup import exact_dedup_stats
@@ -449,6 +468,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality": _doc_quality,
         "doc_len_histogram": _doc_len_histogram,
         "orders_by_nation": _orders_by_nation,
+        "orders_customer_join": _orders_customer_join,
         "dedup_exact": _dedup_exact,
         "events_hourly": _events_hourly,
         "events_user_sessions": _events_user_sessions,
@@ -523,6 +543,11 @@ def oracle_sql() -> dict[str, str]:
             JOIN customer c ON o.o_custkey = c.c_custkey
             JOIN nation n ON c.c_nationkey = n.n_nationkey
             GROUP BY n.n_name ORDER BY n_name
+        """,
+        "orders_customer_join": """
+            SELECT o.o_orderkey, c.c_name, round(o.o_totalprice, 2) AS o_totalprice
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            ORDER BY o.o_orderkey
         """,
         "dedup_exact": """
             SELECT min(doc_id) AS doc_id, count(*) AS n_copies

@@ -190,18 +190,25 @@ def minhash_lsh_pairs(
 
 # ------------------------------------------------------------- SimHash
 
+_SIM_SHIFTS = np.arange(63, dtype=np.uint64)
+
+
 def simhash64(text: str) -> int:
-    """63-bit simhash (top bit unused so values stay valid Arrow int64)."""
+    """63-bit simhash (top bit unused so values stay valid Arrow int64).
+    Word hashes reuse the dedup word-hash cache; the bit-vote matrix is one
+    vectorized op over all words."""
     words = text.split()
     if not words:
         return 0
-    acc = np.zeros(63, dtype=np.int64)
-    shifts = np.arange(63, dtype=np.uint64)
-    for w in words:
-        h = int.from_bytes(hashlib.blake2b(w.encode(), digest_size=8).digest(), "little")
-        bits = ((np.uint64(h & ((1 << 63) - 1)) >> shifts) & np.uint64(1)).astype(np.int64)
-        acc += 2 * bits - 1
-    return int("".join("1" if v > 0 else "0" for v in acc[::-1]), 2)
+    hs = np.fromiter(
+        (_hash_word(w) for w in words), dtype=np.uint64, count=len(words)
+    )
+    bits = ((hs[:, None] >> _SIM_SHIFTS[None, :]) & np.uint64(1)).astype(np.int32)
+    votes = bits.sum(axis=0) * 2 - len(words)
+    out = 0
+    for i in range(62, -1, -1):
+        out = (out << 1) | (1 if votes[i] > 0 else 0)
+    return out
 
 
 def hamming64(a: int, b: int) -> int:

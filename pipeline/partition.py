@@ -213,6 +213,24 @@ def broadcast_join(
     return ds.map_batches(Join, batch_format="pandas", batch_size=4096, concurrency=2)
 
 
+def hash_join(
+    left: "ray.data.Dataset", right: "ray.data.Dataset", on: str,
+    right_on: str | None = None, num_partitions: int | None = None,
+    join_type: str = "inner",
+) -> "ray.data.Dataset":
+    """Large-large hash-partitioned join (both sides shuffled on the key).
+    Uses Ray Data's native Dataset.join; partition count defaults to
+    2 x cluster CPUs. For small right sides prefer broadcast_join."""
+    import ray as _ray
+
+    if num_partitions is None:
+        num_partitions = max(8, 2 * int(_ray.cluster_resources().get("CPU", 8)))
+    return left.join(
+        right, join_type=join_type, num_partitions=num_partitions,
+        on=(on,), right_on=(right_on or on,),
+    )
+
+
 def exact_dedup(scrubbed: "ray.data.Dataset") -> "ray.data.Dataset":
     """§2.7: keep the first (repo, path) per content_sha256 — hash-partition
     + per-group head. Key is a uniform hash: no skew possible."""
