@@ -63,18 +63,34 @@ def cmd_metrics(args) -> None:
     from pipeline.metrics import SpanCounts, finalize
     from pipeline.synth.corpus import make_first_try_row
 
+    from pipeline.metrics import token_accuracy
+    from pipeline.synth.corpus import _build, _kind_for
+    from pipeline._util import rng_for
+
     def partial(batch: pa.Table) -> pa.Table:
         sc = SpanCounts()
+        tok_c = tok_n = 0
         for i in batch["id"].to_pylist():
             truth, pred = make_first_try_row(int(i))
             sc.update(truth, pred)
-        return pa.table({"blob": [json.dumps(sc.as_row())]})
+            kind = _kind_for(rng_for(42, "kind", int(i)))
+            ex = _build(kind, rng_for(42, "conf", int(i), 0))
+            c, n = token_accuracy(ex.text, truth, pred)
+            tok_c += c
+            tok_n += n
+        return pa.table({
+            "blob": [json.dumps(sc.as_row())],
+            "tok_correct": [tok_c], "tok_total": [tok_n],
+        })
 
     rows = rd.range(args.n).map_batches(
         partial, batch_format="pyarrow", batch_size=256
     ).take_all()
     total = SpanCounts.from_rows([json.loads(r["blob"]) for r in rows])
     report = finalize(total)
+    tok_c = sum(r["tok_correct"] for r in rows)
+    tok_n = sum(r["tok_total"] for r in rows)
+    report["token_accuracy"] = tok_c / tok_n if tok_n else 0.0  # A5
     Path(args.out).write_text(json.dumps(report, indent=2))
     print(json.dumps(report["micro"]))
 

@@ -122,14 +122,19 @@ def _gate_num9_10(text: str, m: Match) -> str | None:
 
 def _gate_dotspace334(text: str, m: Match) -> str | None:
     """ddd.ddd.dddd / ddd ddd dddd is both an SSN format [G:138-141] and a
-    phone variation [G:186-187] — nearest context cue decides, default PHONE."""
-    tail = m.group().replace(" ", "").replace(".", "")
+    phone variation [G:186-187]. Phone area/exchange groups start 2-9 by
+    construction (providers._phone_base), SSN groups are 100-999 — a
+    leading '1' in group 1 or 2 proves SSN with zero phone-FP risk.
+    Otherwise nearest context cue decides, default PHONE."""
+    s = m.group()
+    tail = s.replace(" ", "").replace(".", "")
     if len(tail) != 10:
         return "PHONE"
+    default = "SSN" if (tail[0] == "1" or tail[3] == "1") else "PHONE"
     return resolve_numeric_cue(
         text, m.start(), m.end(),
         [("SSN", SSN_CUES), ("PHONE", PHONE_CUES)],
-        default="PHONE",
+        default=default,
     )
 
 
