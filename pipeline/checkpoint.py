@@ -102,6 +102,13 @@ def run_partitioned(
         result.write_parquet(str(tmp))
 
         committed = ray.data.read_parquet(str(tmp))
+        # schema gate before commit (SURVEY.md §1.2: stages validate out)
+        from pipeline.schema import SCRUB_OUT
+
+        written_cols = set(committed.schema().names)
+        missing = set(SCRUB_OUT.names) - written_cols
+        if missing:
+            raise RuntimeError(f"partition {pid}: missing columns {sorted(missing)}")
         shas = [r["content_sha256"] for r in committed.select_columns(["content_sha256"]).take_all()]
         n_rows = len(shas)
 

@@ -125,3 +125,23 @@ def test_repo_stats_groupby_variant_matches(scrubbed_ds):
     b = repo_stats(scrubbed_ds, use_ray_groupby=True).to_pandas().sort_values("repo").reset_index(drop=True)
     for col in ["repo", "n_files", "n_bytes", "n_kept", "n_dup_content"]:
         assert (a[col].values == b[col].values).all(), col
+
+
+def test_broadcast_and_hash_join():
+    import pandas as pd
+    import ray.data as rd
+
+    from pipeline.partition import broadcast_join, hash_join
+
+    left = rd.from_pandas(pd.DataFrame({"k": [1, 2, 3, 2], "v": ["a", "b", "c", "d"]}))
+    right_df = pd.DataFrame({"k": [1, 2], "name": ["one", "two"]})
+    bj = broadcast_join(left, right_df, on="k").to_pandas().sort_values(["k", "v"])
+    assert bj["name"].tolist() == ["one", "two", "two"]
+
+    right = rd.from_pandas(right_df)
+    hj = (
+        hash_join(left, right, on="k", num_partitions=4)
+        .to_pandas()
+        .sort_values(["k", "v"])
+    )
+    assert hj["name"].tolist() == ["one", "two", "two"]
