@@ -46,8 +46,11 @@ def year_ok(s: str) -> bool:
 # (" at ") from firing across a whole window.
 SSN_CUES = ("ssn", "social", "sozial", "national id", "tax id")
 PHONE_CUES = (
+    # NOTE: bare "number" deliberately absent — it appears in "Social
+    # Number: {ssn}" and would outscore the farther "social" cue.
     "phone", "call", "tel", "dial", "contact", "callback", "reach",
-    "mine is", "number", "cell", "mobile", "hmu", "calling",
+    "mine is", "cell", "mobile", "hmu", "calling",
+    ("info", 44),  # "contact info: …, {phone}", "leaked my info ({email}, {phone}…"
 )
 DATE_CUES = (
     "dob", "born", "date", "birthday", "exp", "expected", "registered",
@@ -74,7 +77,14 @@ def _window_before(text: str, start: int) -> str:
 
 
 def _window_after(text: str, end: int) -> str:
-    return text[end: end + _FWD_WINDOW].lower()
+    """Forward cues must be in the SAME clause: '7084 call me' counts,
+    '...1972. Call 555...' does not (the Call belongs to the next sentence)."""
+    win = text[end: end + _FWD_WINDOW].lower()
+    for stop in (". ", "\n", "; "):
+        idx = win.find(stop)
+        if idx >= 0:
+            win = win[:idx]
+    return win
 
 
 def _fuzzy_alts(word: str) -> list[str]:
@@ -93,9 +103,10 @@ def _fuzzy_alts(word: str) -> list[str]:
                 alts.append(
                     re.escape(word[:i] + word[i + 1] + word[i] + word[i + 2:])
                 )
-    if len(word) >= 7 and " " not in word:
-        # long single-word labels ("address", "callback") survive 2 edits;
-        # first char stays exact to bound false matches
+    if len(word) >= 7 and word != "mine is":
+        # long labels ("address", "ship to") survive 2 edits; first char
+        # stays exact to bound false matches ("mine is" excluded — its
+        # 2-edit shadow matched "...ing is" carrier tails)
         for i in range(1, len(word)):
             for j in range(i + 1, len(word)):
                 alts.append(
@@ -103,9 +114,11 @@ def _fuzzy_alts(word: str) -> list[str]:
                     + "." + re.escape(word[j + 1:])
                 )
     if word in ("ssn", "call", "dial"):
-        # short fuzzy cue must be a whole token ("s.n" would match the name
-        # "santiago" otherwise)
-        alts = [rf"(?<![a-z])(?:{a})(?![a-z])" for a in alts]
+        # short fuzzy cues need token boundaries ("s.n" would match inside
+        # "santiago", ".ial" inside "social"). The leading boundary blocks
+        # only LOWERCASE neighbors — case-scoped (?-i:) so swap-noise like
+        # "S SN:" (uppercase neighbor) still matches under IGNORECASE.
+        alts = [rf"(?-i:(?<![a-z]))(?:{a})(?![a-z])" for a in alts]
     return alts
 
 

@@ -154,9 +154,19 @@ def _gate_bare4(text: str, m: Match) -> str | None:
     return "DATE" if year_ok(m.group()) else None
 
 
+def _gate_ssn_cue(text: str, m: Match) -> str | None:
+    return resolve_numeric_cue(
+        text, m.start(), m.end(), [("SSN", SSN_CUES)], default=None,
+    )
+
+
 def _gate_age_cue(text: str, m: Match) -> str | None:
     """1-digit M/F age forms ("5f", "M4") collide with noise-corrupted
-    carrier bigrams ("if" -> "5f", "my" -> "m4") — require an age cue."""
+    carrier bigrams ("if" -> "5f", "my" -> "m4") — require an age cue or
+    the CSV pipe-flank ('{person} | {age} | …')."""
+    before, after = pipe_flanked(text, m.start(), m.end())
+    if before and after:
+        return "AGE"
     return resolve_numeric_cue(
         text, m.start(), m.end(), [("AGE", AGE_CUES)], default=None,
     )
@@ -209,6 +219,8 @@ def _conformance_specs() -> list[PatternSpec]:
     P.append(PatternSpec("SSN", rf"{NB}\d{{3}}{SEP_D}\d{{2}}{SEP_D}\d{{4}}{NA}"))          # 123-45-6789
     P.append(PatternSpec("SSN", rf"{NB}\d{{4}}{SEP_D}\d{{4}}{SEP_D}\d{{4}}{NA}"))          # 1234-5678-9012
     P.append(PatternSpec("SSN", rf"(?<![\w.\-/#])[A-Z]\d{{7,8}}{NA}", flags=0))            # A12345678
+    # case-noised letter prefix ("r99496293"): only with an SSN cue nearby
+    P.append(PatternSpec(None, rf"(?<![\w.\-/#])[a-z]\d{{7,8}}{NA}", gate=_gate_ssn_cue, flags=0))
     P.append(PatternSpec(                                                                   # 27.01.06.52.N67.7
         "SSN",
         rf"{NB}\d{{2}}{SEP_P}\d{{2}}{SEP_P}\d{{2}}{SEP_P}\d{{2}}{SEP_P}[A-Za-z]\d{{2}}{SEP_P}\d{NA}",
@@ -263,7 +275,18 @@ def _conformance_specs() -> list[PatternSpec]:
     P.append(PatternSpec("AGE", rf"{NB}\d{{1,2}}yo\b"))
     P.append(PatternSpec("AGE", rf"\bage {NB}\d{{1,2}}{NA}(?! ?[mf]\b)"))
     P.append(PatternSpec("AGE", rf"\bi'm \d{{1,2}}{NA}"))
-    P.append(PatternSpec("AGE", rf"\(\d{{1,2}}[mf]?\)"))
+    # "(45M) applied on …" is the '{person} ({age}) applied …' template
+    # parenthesizing a BARE age value — emit the inner span there; any
+    # other parenthesized age is the sampled "(45M)" format (parens in
+    # the value). "applied" matched with the fuzzy-edit machinery since
+    # outside-span noise corrupts it.
+    from pipeline.detect.gates import _fuzzy_alts
+
+    applied = "|".join(_fuzzy_alts("applied"))
+    P.append(PatternSpec(
+        "AGE", rf"\((\d{{1,2}}[mf]?)\) ?(?:{applied})", group=1,
+    ))
+    P.append(PatternSpec("AGE", rf"\(\d{{1,2}}[mf]?\)(?! ?(?:{applied}))"))
     P.append(PatternSpec("AGE", rf"\[\d{{1,2}}[mf]\]"))
     P.append(PatternSpec("AGE", rf"{NB}\d{{2}} ?[mf]\b(?!{SEP_D})"))
     P.append(PatternSpec("AGE", rf"(?<![\w.\-/#(])[mf]\d{{2}}{NA}"))
