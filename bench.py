@@ -140,12 +140,12 @@ def main() -> None:
     ensure_fixture()
     if os.environ.get("GRAFT_BENCH_WARM", "0") == "1":
         # scaling mode measures steady-state THROUGHPUT: one untimed warm
-        # run amortizes session/worker/import/actor cold start, then the
-        # best of two timed runs damps executor variance (~±20% observed).
-        # (The default cold measurement stays for `value`.)
+        # run amortizes session/worker/import/actor cold start, then ONE
+        # timed run — repeated timed runs in the same session get slower
+        # (object-store aging), so variance is damped across fresh
+        # processes in run_scaling instead.
         run_headline()
-        a, b = run_headline(), run_headline()
-        headline = a if a["headline_sec"] <= b["headline_sec"] else b
+        headline = run_headline()
     else:
         headline = run_headline()
     queries = (
@@ -174,17 +174,21 @@ def run_scaling() -> None:
     # matching the 100 TB scenario better than the tiny unit-test rows
     scaling_rows = os.environ.get("GRAFT_SCALING_ROWS", "400000")
     scaling_lines = os.environ.get("GRAFT_SCALING_LINES", "160")
+    n_trials = int(os.environ.get("GRAFT_SCALING_TRIALS", "2"))
     for ncpu in (8, 32):
         env = dict(
             os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_BENCH_QUERIES="0",
             GRAFT_BENCH_WARM="1", GRAFT_BENCH_ROWS=scaling_rows,
             GRAFT_BENCH_LINES=scaling_lines,
         )
-        out = subprocess.run(
-            [sys.executable, "bench.py"], env=env, capture_output=True,
-            text=True, check=True, cwd=os.path.dirname(os.path.abspath(__file__)) or ".",
-        ).stdout
-        results[ncpu] = json.loads(out.strip().splitlines()[-1])
+        trials = []
+        for _ in range(n_trials):  # fresh process per trial damps variance
+            out = subprocess.run(
+                [sys.executable, "bench.py"], env=env, capture_output=True,
+                text=True, check=True, cwd=os.path.dirname(os.path.abspath(__file__)) or ".",
+            ).stdout
+            trials.append(json.loads(out.strip().splitlines()[-1]))
+        results[ncpu] = min(trials, key=lambda d: d["value"])
     t8, t32 = results[8]["value"], results[32]["value"]
     eff = (t8 / t32) / (32 / 8)
     summary = {
