@@ -51,6 +51,7 @@ PHONE_CUES = (
     "phone", "call", "tel", "dial", "contact", "callback", "reach",
     "mine is", "cell", "mobile", "hmu", "calling",
     ("info", 44),  # "contact info: …, {phone}", "leaked my info ({email}, {phone}…"
+    (" or ", 6),   # "{email} or {phone}" tail
 )
 DATE_CUES = (
     "dob", "born", "date", "birthday", "exp", "expected", "registered",
@@ -95,7 +96,7 @@ def _fuzzy_alts(word: str) -> list[str]:
     tolerates one edit. Short cues (<5 chars, except "ssn") stay exact-only
     to avoid false matches inside carrier words."""
     alts = [re.escape(word)]
-    if len(word) >= 5 or word in ("ssn", " at ", "call", "dial"):
+    if len(word) >= 5 or word in ("ssn", "dob", " at ", "call", "dial"):
         for i in range(len(word)):
             alts.append(re.escape(word[:i]) + "." + re.escape(word[i + 1:]))
         for i in range(len(word) - 1):
@@ -104,16 +105,15 @@ def _fuzzy_alts(word: str) -> list[str]:
                     re.escape(word[:i] + word[i + 1] + word[i] + word[i + 2:])
                 )
     if len(word) >= 7 and word != "mine is":
-        # long labels ("address", "ship to") survive 2 edits; first char
-        # stays exact to bound false matches ("mine is" excluded — its
-        # 2-edit shadow matched "...ing is" carrier tails)
-        for i in range(1, len(word)):
+        # long labels ("address", "ship to") survive 2 edits ("mine is"
+        # excluded — its 2-edit shadow matched "...ing is" carrier tails)
+        for i in range(0, len(word)):
             for j in range(i + 1, len(word)):
                 alts.append(
                     re.escape(word[:i]) + "." + re.escape(word[i + 1: j])
                     + "." + re.escape(word[j + 1:])
                 )
-    if word in ("ssn", "call", "dial"):
+    if word in ("ssn", "dob", "call", "dial"):
         # short fuzzy cues need token boundaries ("s.n" would match inside
         # "santiago", ".ial" inside "social"). The leading boundary blocks
         # only LOWERCASE neighbors — case-scoped (?-i:) so swap-noise like

@@ -283,10 +283,17 @@ def _conformance_specs() -> list[PatternSpec]:
     from pipeline.detect.gates import _fuzzy_alts
 
     applied = "|".join(_fuzzy_alts("applied"))
+    agevals = r"(?:\d{1,2}[mf]?|[mf]\d{1,2})"
+    # ".{0,2}?" tolerates one glued noise char between ")" and "applied".
+    # Double parens = sampled "(33F)" format inside the template's own
+    # parens -> the value keeps ONE pair.
     P.append(PatternSpec(
-        "AGE", rf"\((\d{{1,2}}[mf]?)\) ?(?:{applied})", group=1,
+        "AGE", rf"\((\({agevals}\))\).{{0,2}}?(?:{applied})", group=1,
     ))
-    P.append(PatternSpec("AGE", rf"\(\d{{1,2}}[mf]?\)(?! ?(?:{applied}))"))
+    P.append(PatternSpec(
+        "AGE", rf"(?<!\()\(({agevals})\).{{0,2}}?(?:{applied})", group=1,
+    ))
+    P.append(PatternSpec("AGE", rf"\({agevals}\)(?!\)|.{{0,2}}?(?:{applied}))"))
     P.append(PatternSpec("AGE", rf"\[\d{{1,2}}[mf]\]"))
     P.append(PatternSpec("AGE", rf"{NB}\d{{2}} ?[mf]\b(?!{SEP_D})"))
     P.append(PatternSpec("AGE", rf"(?<![\w.\-/#(])[mf]\d{{2}}{NA}"))
