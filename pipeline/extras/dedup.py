@@ -103,35 +103,54 @@ def jaccard(a: str, b: str, k: int = 3) -> float:
     return len(sa & sb) / len(sa | sb)
 
 
+_MIX = np.int64(-7046029254386353131)  # 0x9E3779B97F4A7C15 as signed
+
+
+def _combine_keys(batch: pa.Table, keys: list[str]) -> np.ndarray:
+    """Hash-combine the key columns to one int64 per row. A collision only
+    merges two buckets — extra CANDIDATE pairs that the exact verify stage
+    (Jaccard / Hamming) discards, never a missed duplicate."""
+    acc = np.zeros(len(batch), dtype=np.int64)
+    for k in keys:
+        col = batch[k].to_numpy(zero_copy_only=False).astype(np.int64)
+        acc = (acc * _MIX) + col
+    return acc
+
+
 def _hot_bucket_members(
     bands: "ray.data.Dataset", keys: list[str],
 ) -> pd.DataFrame:
     """Rows of `bands` whose bucket key appears >= 2 times.
 
-    Plan: groupby-count over the (small) key rows -> hot-key set broadcast
-    -> vectorized filter. Avoids a map_groups over the (mostly singleton)
-    full bucket space — at n docs x n_bands rows, all but a tiny duplicate
-    fraction of buckets are singletons, and per-group task overhead would
-    dominate (measured 43s -> ~3s on 5k docs). The hot-member set is small
-    by the same assumption (duplicate fraction << 1), so driver-side
-    pairing is safe; MAX_BUCKET caps degenerate buckets."""
+    Plan: per-batch compact int64 key blobs -> driver numpy unique (the
+    same combiner+reduce shape as partition.repo_stats; a Ray groupby over
+    the mostly-singleton bucket space has a ~5 s fixed floor here) -> hot
+    set broadcast -> vectorized membership filter. The hot-member set is
+    small because the duplicate fraction is small; MAX_BUCKET caps
+    degenerate buckets downstream."""
     import ray as _ray
-    from ray.data.aggregate import Count
 
-    counts = bands.groupby(keys).aggregate(Count(alias_name="n"))
-    hot = counts.map_batches(
-        lambda t: t.filter(pc.greater(t["n"], 1)),
-        batch_format="pyarrow",
-    ).to_pandas()
-    if hot.empty:
+    blobs = bands.map_batches(
+        lambda t: pa.table({"blob": [
+            _combine_keys(t, keys).tobytes()
+        ]}),
+        batch_format="pyarrow", batch_size=8192, zero_copy_batch=True,
+    ).take_all()
+    if not blobs:
         return pd.DataFrame(columns=bands.schema().names)
-    hot_keys = set(zip(*(hot[k] for k in keys)))
-    key_ref = _ray.put(hot_keys)
+    allkeys = np.concatenate(
+        [np.frombuffer(r["blob"], dtype=np.int64) for r in blobs]
+    )
+    uniq, counts = np.unique(allkeys, return_counts=True)
+    hot = set(uniq[counts > 1].tolist())
+    if not hot:
+        return pd.DataFrame(columns=bands.schema().names)
+    key_ref = _ray.put(hot)
 
     def filter_hot(batch: pa.Table) -> pa.Table:
         hk = _ray.get(key_ref)
-        cols = [batch[k].to_pylist() for k in keys]
-        mask = [tuple(v) in hk for v in zip(*cols)]
+        combined = _combine_keys(batch, keys)
+        mask = np.fromiter((int(v) in hk for v in combined), dtype=bool, count=len(combined))
         return batch.filter(pa.array(mask))
 
     return bands.map_batches(
