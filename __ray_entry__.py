@@ -120,7 +120,7 @@ def _doc_source_counts(sf_dir: str) -> pd.DataFrame:
     )
     df = out.to_pandas()
     df["sum_chars"] = df["sum_chars"].astype("int64")
-    return df
+    return df.sort_values("source").reset_index(drop=True)
 
 
 def _doc_top10_longest(sf_dir: str) -> pd.DataFrame:
@@ -148,7 +148,7 @@ def _doc_token_counts(sf_dir: str) -> pd.DataFrame:
     )
     df = out.to_pandas()
     df["n_tokens"] = df["n_tokens"].astype("int64")
-    return df
+    return df.sort_values("source").reset_index(drop=True)
 
 
 def _doc_alnum_ratio(sf_dir: str) -> pd.DataFrame:
@@ -502,8 +502,9 @@ def oracle_sql() -> dict[str, str]:
             WHERE lang = 'en' GROUP BY lang
         """,
         "doc_source_counts": """
-            SELECT source, count(*) AS n_docs, sum(n_chars) AS sum_chars
-            FROM documents GROUP BY source
+            SELECT source, count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars
+            FROM documents GROUP BY source ORDER BY source
         """,
         "doc_top10_longest": """
             SELECT doc_id, n_chars FROM documents
@@ -511,9 +512,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_token_counts": """
             SELECT source,
-                   sum(CASE WHEN length(trim(text)) = 0 THEN 0
-                            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) AS n_tokens
-            FROM documents GROUP BY source
+                   CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) AS BIGINT) AS n_tokens
+            FROM documents GROUP BY source ORDER BY source
         """,
         "doc_alnum_ratio": """
             SELECT source,

@@ -78,8 +78,25 @@ def run_partitioned(
 
     for pid, files in enumerate(parts):
         if pid in done:
+            m = done[pid]
+            # A manifest only authorizes a skip if it describes THIS
+            # invocation — otherwise stale committed output would silently
+            # mix with new output (e.g. changed file list or profile).
+            mismatch = [
+                k for k, want in (
+                    ("input_files", files), ("profile", profile),
+                    ("keep_only", keep_only),
+                ) if m.get(k) != want
+            ]
+            if mismatch:
+                raise RuntimeError(
+                    f"partition {pid}: committed manifest does not match this "
+                    f"invocation on {mismatch} (manifest "
+                    f"{ {k: m.get(k) for k in mismatch} }); use a fresh "
+                    f"out_dir or delete the stale partition + manifest"
+                )
             skipped += 1
-            total_rows += done[pid]["n_rows"]
+            total_rows += m["n_rows"]
             continue
         t0 = time.monotonic()
         from pipeline.ray_pipeline import read_code_table

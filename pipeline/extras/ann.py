@@ -41,6 +41,21 @@ def _norm_rows(m: np.ndarray) -> np.ndarray:
     return m / n
 
 
+def _topk_indices(s: np.ndarray, ids: np.ndarray, kk: int) -> np.ndarray:
+    """Indices of the top-kk scores with a deterministic (score desc,
+    id asc) order. Exact score ties AT the k-th boundary are widened past
+    argpartition's arbitrary cut so the id tie-break — not partition
+    order — decides which side of the boundary survives."""
+    if kk >= len(s):
+        idx = np.arange(len(s))
+    else:
+        part = np.argpartition(-s, kk - 1)
+        thresh = s[part[kk - 1]]
+        idx = np.nonzero(s >= thresh)[0]  # includes all boundary ties
+    order = np.lexsort((ids[idx], -s[idx]))
+    return idx[order][:kk]
+
+
 def brute_force_topk(
     ds: "ray.data.Dataset", queries: np.ndarray, query_ids: list[int], k: int = 10,
     *, id_col: str = "vec_id", vec_col: str = "embedding",
@@ -60,10 +75,7 @@ def brute_force_topk(
         kk = min(k, scores.shape[1])
         for qi in range(scores.shape[0]):
             s = scores[qi]
-            # argpartition then exact sort of the head (score desc, id asc)
-            idx = np.argpartition(-s, kk - 1)[:kk]
-            order = np.lexsort((ids[idx], -s[idx]))
-            sel = idx[order]
+            sel = _topk_indices(s, ids, kk)
             out_q.extend([query_ids[qi]] * len(sel))
             out_id.extend(ids[sel].tolist())
             out_s.extend(s[sel].tolist())
@@ -130,10 +142,7 @@ def ivf_topk(
                 continue
             s = q[qi] @ m[mask].T
             sub_ids = ids[mask]
-            kk = min(k, len(s))
-            idx = np.argpartition(-s, kk - 1)[:kk]
-            order = np.lexsort((sub_ids[idx], -s[idx]))
-            sel = idx[order]
+            sel = _topk_indices(s, sub_ids, min(k, len(s)))
             out_q.extend([query_ids[qi]] * len(sel))
             out_id.extend(sub_ids[sel].tolist())
             out_s.extend(s[sel].tolist())

@@ -3,11 +3,12 @@
 Scale design notes (100 TB / 256 nodes):
 - exact: content hash -> groupby(hash) -> first. Uniform key, no skew.
 - MinHash-LSH: per-batch vectorized shingle->minhash, explode to one row
-  per band -> groupby((band, band_hash)) -> per-bucket pairs -> exact
-  Jaccard verify. All-to-all volume = n_bands rows/doc of 16 bytes, not
-  the documents themselves. Buckets are capped (a degenerate bucket of B
-  docs yields B*(B-1)/2 pairs — cap + log, never silently explode).
-- SimHash: 64-bit fingerprint, 4x16-bit band bucketing for Hamming<=3
+  per band -> bucket-count (driver reduce below a size switch, Ray
+  groupby above it) -> per-bucket pairs -> exact Jaccard verify. The
+  all-to-all volume is one int64 key per (doc, band), never the
+  documents themselves. Buckets are capped (a degenerate bucket of B
+  docs yields B*(B-1)/2 pairs — cap + WARN log, never silently explode).
+- SimHash: 63-bit fingerprint, 4x16-bit band bucketing for Hamming<=3
   candidates, exact Hamming verify.
 - near-dup by embedding cosine lives in pipeline.extras.ann.
 """
@@ -15,6 +16,7 @@ Scale design notes (100 TB / 256 nodes):
 from __future__ import annotations
 
 import hashlib
+import logging
 
 import numpy as np
 import pandas as pd
@@ -23,11 +25,19 @@ import pyarrow.compute as pc
 
 import ray.data
 
+logger = logging.getLogger(__name__)
+
 _MERSENNE = (1 << 61) - 1
 N_PERM = 64
 N_BANDS = 16  # 4 rows/band -> catches J>=~0.5 pairs w.h.p.
 ROWS_PER_BAND = N_PERM // N_BANDS
 MAX_BUCKET = 64  # cap degenerate buckets (logged, not silent)
+
+# Above this many (doc, band) rows the bucket-count reduce switches from
+# the driver-side numpy unique (fast at bench scale: no shuffle, ~5 s Ray
+# groupby floor avoided) to a distributed Ray groupby — the driver path
+# materializes 8 bytes/row and would be a scale-killer on a real corpus.
+DRIVER_REDUCE_MAX_ROWS = 2_000_000
 
 
 def _perm_params(seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
@@ -54,20 +64,46 @@ def _hash_word(w: str) -> int:
     return h
 
 
-_G1, _G2, _G3 = 1000003, 999983, 999979
+# Position multipliers for the k-gram polynomial combine. The first three
+# are fixed so k=3 (the default everywhere) is bit-stable across versions;
+# higher k extends the list deterministically.
+_GRAM_MULTS = [1000003, 999983, 999979]
+_G1 = _GRAM_MULTS[0]
+
+
+def _gram_mults(k: int) -> list[int]:
+    while len(_GRAM_MULTS) < k:
+        _GRAM_MULTS.append((_GRAM_MULTS[-1] * 999959) % _MERSENNE)
+    return _GRAM_MULTS[:k]
+
+
+def _word_hashes(text: str) -> np.ndarray:
+    words = text.split()
+    if not words:
+        return np.empty(0, dtype=np.int64)
+    return np.fromiter(
+        (_hash_word(w) for w in words), dtype=np.int64, count=len(words)
+    )
+
+
+def _shingles_from_hashes(hs: np.ndarray, k: int) -> np.ndarray:
+    if hs.size == 0:
+        return hs
+    if hs.size < k:
+        return np.unique((hs * _G1).sum(keepdims=True) % _MERSENNE)
+    n = hs.size - k + 1
+    g = np.zeros(n, dtype=np.int64)
+    # accumulate with int64 wraparound (associative), single mod at the
+    # end — bit-identical to the historical k=3 expression
+    for j, m in enumerate(_gram_mults(k)):
+        g = g + hs[j: j + n] * np.int64(m)
+    return np.unique(g % _MERSENNE)
 
 
 def _shingles(text: str, k: int = 3) -> np.ndarray:
     """Word k-gram shingle hashes: per-word blake2b (cached) combined with
     a vectorized polynomial mix — no per-gram string building/hashing."""
-    words = text.split()
-    if not words:
-        return np.empty(0, dtype=np.int64)
-    hs = np.fromiter((_hash_word(w) for w in words), dtype=np.int64, count=len(words))
-    if len(words) < k:
-        return np.unique((hs * _G1).sum(keepdims=True) % _MERSENNE)
-    g = (hs[:-2] * _G1 + hs[1:-1] * _G2 + hs[2:] * _G3) % _MERSENNE
-    return np.unique(g)
+    return _shingles_from_hashes(_word_hashes(text), k)
 
 
 def minhash_signature(text: str) -> np.ndarray:
@@ -79,20 +115,75 @@ def minhash_signature(text: str) -> np.ndarray:
     return vals.min(axis=1)
 
 
+# Shingle-count budget per vectorized chunk: N_PERM x chunk int64
+# intermediates stay ~16 MB regardless of batch size.
+_SIG_CHUNK_SHINGLES = 32_768
+
+
+def batch_minhash_signatures(texts: list[str]) -> np.ndarray:
+    """(n_docs, N_PERM) signatures with the permutation step vectorized
+    ACROSS documents: shingles are concatenated and reduced per doc with
+    np.minimum.reduceat, instead of one N_PERM x n_shingles matmul per doc.
+    Empty docs get the all-zero signature (matches minhash_signature)."""
+    n = len(texts)
+    sigs = np.zeros((n, N_PERM), dtype=np.int64)
+    if n == 0:
+        return sigs
+    shingle_lists = [_shingles(t) for t in texts]
+    # chunk docs so the concatenated shingle count stays bounded
+    start = 0
+    while start < n:
+        end = start
+        total = 0
+        while end < n and (total == 0 or total + shingle_lists[end].size <= _SIG_CHUNK_SHINGLES):
+            total += shingle_lists[end].size
+            end += 1
+        chunk = [s for s in shingle_lists[start:end] if s.size]
+        if chunk:
+            cat = np.concatenate(chunk)
+            vals = (cat[None, :] * _A[:, None] + _B[:, None]) % _MERSENNE
+            offsets = np.cumsum([0] + [s.size for s in chunk])[:-1]
+            mins = np.minimum.reduceat(vals, offsets, axis=1)  # N_PERM x docs
+            dst = [i for i in range(start, end) if shingle_lists[i].size]
+            sigs[dst, :] = mins.T
+        start = end
+    return sigs
+
+
+_MIX = np.int64(-7046029254386353131)  # 0x9E3779B97F4A7C15 as signed
+
+
+def _scramble64(x: np.ndarray) -> np.ndarray:
+    """xorshift-multiply finalizer: spreads band tuples over int64 space so
+    bucket keys collide only by chance (a collision merges two buckets ->
+    extra CANDIDATES for the exact verify stage, never a missed dup)."""
+    v = x.astype(np.uint64)
+    v ^= v >> np.uint64(33)
+    v *= np.uint64(0xFF51AFD7ED558CCD)
+    v ^= v >> np.uint64(33)
+    return (v >> np.uint64(1)).astype(np.int64)  # keep sign bit clear
+
+
 def _band_rows(batch: pa.Table, id_col: str, text_col: str) -> pa.Table:
-    ids = batch[id_col].to_pylist()
+    """Explode each doc to N_BANDS (doc_id, band, band_hash) rows —
+    signatures batched across docs, band keys vectorized (no per-doc
+    hashing loop)."""
     texts = batch[text_col].to_pylist()
-    out_id, out_band, out_hash = [], [], []
-    for i, t in zip(ids, texts):
-        sig = minhash_signature(t)
-        for b in range(N_BANDS):
-            chunk = sig[b * ROWS_PER_BAND: (b + 1) * ROWS_PER_BAND]
-            h = hashlib.blake2b(chunk.tobytes(), digest_size=8).digest()
-            out_id.append(i)
-            out_band.append(b)
-            out_hash.append(int.from_bytes(h, "little") >> 1)
+    sigs = batch_minhash_signatures(texts)  # n x N_PERM
+    n = len(texts)
+    # combine each band's ROWS_PER_BAND values into one int64 key
+    bands = sigs.reshape(n, N_BANDS, ROWS_PER_BAND)
+    acc = np.zeros((n, N_BANDS), dtype=np.int64)
+    for r in range(ROWS_PER_BAND):
+        acc = acc * _MIX + bands[:, :, r]
+    keys = _scramble64(acc)
+    ids = batch[id_col].to_numpy(zero_copy_only=False)
     return pa.table(
-        {"doc_id": out_id, "band": out_band, "band_hash": out_hash}
+        {
+            "doc_id": pa.array(np.repeat(ids, N_BANDS)),
+            "band": pa.array(np.tile(np.arange(N_BANDS, dtype=np.int32), n)),
+            "band_hash": pa.array(keys.reshape(-1)),
+        }
     )
 
 
@@ -101,9 +192,6 @@ def jaccard(a: str, b: str, k: int = 3) -> float:
     if not sa and not sb:
         return 1.0
     return len(sa & sb) / len(sa | sb)
-
-
-_MIX = np.int64(-7046029254386353131)  # 0x9E3779B97F4A7C15 as signed
 
 
 def _combine_keys(batch: pa.Table, keys: list[str]) -> np.ndarray:
@@ -117,41 +205,80 @@ def _combine_keys(batch: pa.Table, keys: list[str]) -> np.ndarray:
     return acc
 
 
-def _hot_bucket_members(
-    bands: "ray.data.Dataset", keys: list[str],
-) -> pd.DataFrame:
-    """Rows of `bands` whose bucket key appears >= 2 times.
+def _sorted_membership(values: np.ndarray, sorted_keys: np.ndarray) -> np.ndarray:
+    """values[i] in sorted_keys, via searchsorted (no Python set loop)."""
+    if sorted_keys.size == 0:
+        return np.zeros(values.size, dtype=bool)
+    idx = np.searchsorted(sorted_keys, values)
+    idx[idx == sorted_keys.size] = sorted_keys.size - 1
+    return sorted_keys[idx] == values
 
-    Plan: per-batch compact int64 key blobs -> driver numpy unique (the
-    same combiner+reduce shape as partition.repo_stats; a Ray groupby over
-    the mostly-singleton bucket space has a ~5 s fixed floor here) -> hot
-    set broadcast -> vectorized membership filter. The hot-member set is
-    small because the duplicate fraction is small; MAX_BUCKET caps
-    degenerate buckets downstream."""
-    import ray as _ray
 
+def _hot_keys_driver(bands: "ray.data.Dataset", keys: list[str]) -> np.ndarray:
+    """Bucket keys appearing >= 2 times — driver-side numpy reduce over
+    per-batch compact int64 blobs (8 B/row shipped; no shuffle). Only used
+    below DRIVER_REDUCE_MAX_ROWS."""
     blobs = bands.map_batches(
-        lambda t: pa.table({"blob": [
-            _combine_keys(t, keys).tobytes()
-        ]}),
+        lambda t: pa.table({"blob": [_combine_keys(t, keys).tobytes()]}),
         batch_format="pyarrow", batch_size=8192, zero_copy_batch=True,
     ).take_all()
     if not blobs:
-        return pd.DataFrame(columns=bands.schema().names)
+        return np.empty(0, dtype=np.int64)
     allkeys = np.concatenate(
         [np.frombuffer(r["blob"], dtype=np.int64) for r in blobs]
     )
     uniq, counts = np.unique(allkeys, return_counts=True)
-    hot = set(uniq[counts > 1].tolist())
-    if not hot:
+    return uniq[counts > 1]  # np.unique output is sorted
+
+
+def _hot_keys_distributed(bands: "ray.data.Dataset", keys: list[str]) -> np.ndarray:
+    """Scale path: distributed groupby(count) over the combined key —
+    nothing proportional to the corpus ever lands on the driver; only the
+    hot (duplicate-bucket) keys do, and those are small by the dedup
+    premise."""
+    from ray.data.aggregate import Count
+
+    keyed = bands.map_batches(
+        lambda t: pa.table({"k": pa.array(_combine_keys(t, keys))}),
+        batch_format="pyarrow", batch_size=8192, zero_copy_batch=True,
+    )
+    hot = (
+        keyed.groupby("k")
+        .aggregate(Count(alias_name="n"))
+        .filter(expr="n > 1")
+        .to_pandas()
+    )
+    return np.sort(hot["k"].to_numpy().astype(np.int64))
+
+
+def _hot_bucket_members(
+    bands: "ray.data.Dataset", keys: list[str], *, n_rows: int | None = None,
+) -> pd.DataFrame:
+    """Rows of `bands` whose bucket key appears >= 2 times.
+
+    Size-switched: below DRIVER_REDUCE_MAX_ROWS the count reduce runs on
+    the driver (a Ray groupby has a ~5 s fixed floor locally); above it,
+    a distributed groupby. Either way the hot-key set is then broadcast
+    and membership is a vectorized searchsorted filter. The hot-member
+    frame is small because the duplicate fraction is small; MAX_BUCKET
+    caps degenerate buckets downstream."""
+    import ray as _ray
+
+    bands = bands.materialize()  # consumed twice: count reduce + filter
+    if n_rows is None:
+        n_rows = bands.count()  # metadata on a materialized dataset
+    if n_rows > DRIVER_REDUCE_MAX_ROWS:
+        hot = _hot_keys_distributed(bands, keys)
+    else:
+        hot = _hot_keys_driver(bands, keys)
+    if hot.size == 0:
         return pd.DataFrame(columns=bands.schema().names)
     key_ref = _ray.put(hot)
 
     def filter_hot(batch: pa.Table) -> pa.Table:
         hk = _ray.get(key_ref)
         combined = _combine_keys(batch, keys)
-        mask = np.fromiter((int(v) in hk for v in combined), dtype=bool, count=len(combined))
-        return batch.filter(pa.array(mask))
+        return batch.filter(pa.array(_sorted_membership(combined, hk)))
 
     return bands.map_batches(
         filter_hot, batch_format="pyarrow", batch_size=8192
@@ -159,16 +286,16 @@ def _hot_bucket_members(
 
 
 def _texts_for(ds, ids: set, id_col: str, text_col: str) -> dict:
-    """Fetch only the involved docs' texts (broadcast id set + filter),
-    never take_all() on the corpus."""
+    """Fetch only the involved docs' texts (broadcast id set + vectorized
+    is_in filter), never take_all() on the corpus."""
     import ray as _ray
 
-    id_ref = _ray.put(ids)
+    id_ref = _ray.put(np.asarray(sorted(ids)))
 
     def pick(batch: pa.Table) -> pa.Table:
         want = _ray.get(id_ref)
-        mask = [v in want for v in batch[id_col].to_pylist()]
-        return batch.filter(pa.array(mask))
+        mask = pc.is_in(batch[id_col], value_set=pa.array(want))
+        return batch.filter(mask)
 
     small = ds.select_columns([id_col, text_col]).map_batches(
         pick, batch_format="pyarrow", batch_size=8192
@@ -190,8 +317,14 @@ def minhash_lsh_pairs(
     )
     members = _hot_bucket_members(bands, ["band", "band_hash"])
     cand: set[tuple] = set()
-    for _, g in members.groupby(["band", "band_hash"], sort=False):
-        ids = sorted(g["doc_id"].unique())[:MAX_BUCKET]
+    for key, g in members.groupby(["band", "band_hash"], sort=False):
+        ids = sorted(g["doc_id"].unique())
+        if len(ids) > MAX_BUCKET:
+            logger.warning(
+                "minhash bucket %s truncated: %d members > MAX_BUCKET=%d",
+                key, len(ids), MAX_BUCKET,
+            )
+            ids = ids[:MAX_BUCKET]
         for i in range(len(ids)):
             for j in range(i + 1, len(ids)):
                 cand.add((ids[i], ids[j]))
@@ -210,23 +343,44 @@ def minhash_lsh_pairs(
 # ------------------------------------------------------------- SimHash
 
 _SIM_SHIFTS = np.arange(63, dtype=np.uint64)
+_SIM_POWS = (np.uint64(1) << _SIM_SHIFTS)
 
 
 def simhash64(text: str) -> int:
     """63-bit simhash (top bit unused so values stay valid Arrow int64).
     Word hashes reuse the dedup word-hash cache; the bit-vote matrix is one
     vectorized op over all words."""
-    words = text.split()
-    if not words:
-        return 0
-    hs = np.fromiter(
-        (_hash_word(w) for w in words), dtype=np.uint64, count=len(words)
-    )
-    bits = ((hs[:, None] >> _SIM_SHIFTS[None, :]) & np.uint64(1)).astype(np.int32)
-    votes = bits.sum(axis=0) * 2 - len(words)
-    out = 0
-    for i in range(62, -1, -1):
-        out = (out << 1) | (1 if votes[i] > 0 else 0)
+    return int(batch_simhash64([text])[0])
+
+
+def batch_simhash64(texts: list[str]) -> np.ndarray:
+    """(n_docs,) int64 simhashes, bit votes reduced across ALL docs' words
+    with np.add.reduceat (no per-doc matrix build)."""
+    n = len(texts)
+    out = np.zeros(n, dtype=np.int64)
+    if n == 0:
+        return out
+    hash_lists = [_word_hashes(t) for t in texts]
+    # chunk docs so the bits matrix stays bounded (~32k words x 63 int8)
+    start = 0
+    while start < n:
+        end = start
+        total = 0
+        while end < n and (total == 0 or total + hash_lists[end].size <= _SIG_CHUNK_SHINGLES):
+            total += hash_lists[end].size
+            end += 1
+        chunk = [h for h in hash_lists[start:end] if h.size]
+        if chunk:
+            cat = np.concatenate(chunk).astype(np.uint64)
+            bits = ((cat[:, None] >> _SIM_SHIFTS[None, :]) & np.uint64(1)).astype(np.int32)
+            offsets = np.cumsum([0] + [h.size for h in chunk])[:-1]
+            ones = np.add.reduceat(bits, offsets, axis=0)  # docs x 63
+            lens = np.array([h.size for h in chunk])[:, None]
+            votes = ones * 2 - lens
+            sig = ((votes > 0).astype(np.uint64) * _SIM_POWS[None, :]).sum(axis=1)
+            dst = [i for i in range(start, end) if hash_lists[i].size]
+            out[dst] = sig.astype(np.int64)
+        start = end
     return out
 
 
@@ -241,30 +395,34 @@ def simhash_pairs(
     """Near-dup pairs with Hamming(simhash) <= max_hamming. 4x16-bit band
     bucketing guarantees recall for <=3 bit flips (pigeonhole)."""
     def sim_rows(batch: pa.Table) -> pa.Table:
-        ids = batch[id_col].to_pylist()
-        texts = batch[text_col].to_pylist()
-        out_id, out_band, out_key, out_sim = [], [], [], []
-        for i, t in zip(ids, texts):
-            s = simhash64(t)
-            for b in range(4):
-                out_id.append(i)
-                out_band.append(b)
-                out_key.append((s >> (16 * b)) & 0xFFFF)
-                out_sim.append(s)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        sims = batch_simhash64(batch[text_col].to_pylist())
+        n = len(sims)
+        bands = np.tile(np.arange(4, dtype=np.int32), n)
+        keys = (
+            (sims.astype(np.uint64)[:, None] >> (np.uint64(16) * np.arange(4, dtype=np.uint64)[None, :]))
+            & np.uint64(0xFFFF)
+        ).astype(np.int32).reshape(-1)
         return pa.table({
-            "doc_id": pa.array(out_id, pa.int64()),
-            "band": pa.array(out_band, pa.int32()),
-            "key": pa.array(out_key, pa.int32()),
-            "simhash": pa.array(out_sim, pa.int64()),
+            "doc_id": pa.array(np.repeat(ids, 4)),
+            "band": pa.array(bands),
+            "key": pa.array(keys),
+            "simhash": pa.array(np.repeat(sims, 4)),
         })
 
     import ray.data as rd
 
-    bands = ds.map_batches(sim_rows, batch_format="pyarrow", batch_size=1024)
+    bands = ds.map_batches(sim_rows, batch_format="pyarrow", batch_size=1024,
+                           zero_copy_batch=True)
     members = _hot_bucket_members(bands, ["band", "key"])
     seen: dict[tuple, int] = {}
-    for _, g in members.groupby(["band", "key"], sort=False):
+    for key, g in members.groupby(["band", "key"], sort=False):
         recs = g.drop_duplicates("doc_id").sort_values("doc_id")[["doc_id", "simhash"]].values
+        if len(recs) > MAX_BUCKET:
+            logger.warning(
+                "simhash bucket %s: %d members > MAX_BUCKET=%d, pair window capped",
+                key, len(recs), MAX_BUCKET,
+            )
         for i in range(len(recs)):
             for j in range(i + 1, min(len(recs), i + MAX_BUCKET)):
                 pair = (int(recs[i][0]), int(recs[j][0]))

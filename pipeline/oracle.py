@@ -58,7 +58,7 @@ def oracle_code_frame(df: pd.DataFrame) -> pd.DataFrame:
         scrubbed, spans = scrub_text(content, profile="code")
         keep, reason = decide_row(
             lang_claim=rec["lang"], lang_pred=lang_pred, lang_conf=lang_conf,
-            perplexity=ppl, **scores,
+            perplexity=ppl, content_len=len(content), **scores,
         )
         out.append(
             {

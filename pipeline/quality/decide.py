@@ -63,9 +63,8 @@ def decide_batch(cols: dict[str, np.ndarray], lang_claim, content_len) -> tuple[
         ("repetitive", np.asarray(cols["repetition_score"]) > MAX_REPETITION),
     ]
     keep = np.ones(n, dtype=bool)
-    reason: list = [None] * n
+    reason = np.full(n, None, dtype=object)
     for name, mask in reversed(fails):  # earlier rules overwrite -> first failure wins
-        for i in np.nonzero(mask)[0]:
-            reason[i] = name
+        reason[mask] = name
         keep &= ~mask
-    return keep, reason
+    return keep, reason.tolist()

@@ -1,0 +1,87 @@
+"""Driver-compare simulation: run every queries() entry that has an
+oracle_sql() twin side by side with DuckDB at sf0.001 and assert
+rows + schema + value-hash equality (the driver's own comparison:
+columns sorted by name, values hashed after a stable normalization).
+
+This is the local pre-flight for CORRECTNESS_r{N}.json — a query that
+passes here should be green on the driver's board.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import duckdb
+import pandas as pd
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _connect():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return con
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    if len(df.columns):  # row order is not part of the contract
+        df = df.sort_values(list(df.columns), kind="mergesort")
+    return df.reset_index(drop=True)
+
+
+def _value_hash(df: pd.DataFrame) -> str:
+    h = hashlib.sha256()
+    for col in df.columns:
+        h.update(col.encode())
+        for v in df[col].tolist():
+            h.update(repr(v).encode())
+    return h.hexdigest()
+
+
+def _pairs():
+    import __ray_entry__ as entrymod
+
+    qs = entrymod.queries()
+    sqls = entrymod.oracle_sql()
+    return sorted(sqls), qs, sqls
+
+
+def oracle_checked_names():
+    import __ray_entry__ as entrymod
+
+    return sorted(entrymod.oracle_sql())
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = _connect()
+    yield c
+    c.close()
+
+
+@pytest.mark.parametrize("name", oracle_checked_names())
+def test_query_matches_oracle(ray_session, con, name):
+    import __ray_entry__ as entrymod
+
+    engine = entrymod.queries()[name](SF_DIR)
+    if hasattr(engine, "to_pandas"):
+        engine = engine.to_pandas()
+    oracle = con.execute(entrymod.oracle_sql()[name]).df()
+
+    assert len(engine) == len(oracle), f"{name}: row count mismatch"
+    e, o = _normalize(engine), _normalize(oracle)
+    assert list(e.columns) == list(o.columns), (
+        f"{name}: schema {list(e.columns)} vs {list(o.columns)}"
+    )
+    if _value_hash(e) != _value_hash(o):
+        merged = e.compare(o) if e.shape == o.shape else None
+        raise AssertionError(f"{name}: value hash mismatch; diff:\n{merged}")
