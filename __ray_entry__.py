@@ -447,13 +447,125 @@ def _langid_documents(sf_dir: str) -> pd.DataFrame:
 
 
 def _doc_fingerprints(sf_dir: str) -> pd.DataFrame:
-    """Rolling-hash document fingerprint (rows-only)."""
-    from pipeline.extras.textstats import fingerprint_stage
+    """Content fingerprint per doc — md5 variant (exact DuckDB md5()
+    parity; the rolling-hash fingerprint_stage is the order-sensitive
+    variant, unit-tested in test_extras)."""
+    from pipeline.extras.textstats import content_md5_stage
 
     out = _docs(sf_dir).map_batches(
-        fingerprint_stage, batch_format="pyarrow", zero_copy_batch=True
+        content_md5_stage, batch_format="pyarrow", zero_copy_batch=True
     ).select_columns(["doc_id", "fingerprint"])
     return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+def _dedup_keep_first(sf_dir: str) -> pd.DataFrame:
+    """§2.7 scale-safe keep-first dedup: winner-key aggregate + broadcast
+    is_in filter — the wide op moves (sha, doc_id) pairs, never text
+    [pipeline.partition.keep_first_by]."""
+    import hashlib
+
+    from pipeline.partition import keep_first_by
+
+    def add_sha(t: pa.Table) -> pa.Table:
+        hs = [hashlib.sha256(x.encode()).hexdigest() for x in t["text"].to_pylist()]
+        return t.append_column("_sha", pa.array(hs, pa.string()))
+
+    ds = _docs(sf_dir).map_batches(
+        add_sha, batch_format="pyarrow", zero_copy_batch=True
+    )
+    kept = keep_first_by(ds, group_col="_sha", order_col="doc_id")
+    df = kept.select_columns(["doc_id", "source", "n_chars"]).to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+def _lineitem_pricing(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q1-shaped pricing summary: filtered scan -> derived columns
+    (vectorized Arrow kernels) -> grouped multi-aggregate."""
+    import datetime
+
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data.aggregate import Count, Mean, Sum
+
+    cutoff = datetime.datetime(1998, 9, 2)
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=[
+            "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+            "l_discount", "l_tax", "l_shipdate",
+        ],
+    )
+
+    def _scaled(arr, scale: float):
+        # floor(x*scale + 0.5) as int64: per-row IEEE ops are identical in
+        # numpy and DuckDB, and integer partial sums are order-free — a
+        # float Sum aggregate differs from the sequential oracle in the
+        # last ulp depending on reduction order (observed at the cent
+        # boundary), so money sums go through scaled integers.
+        return pc.cast(
+            pc.floor(pc.add(pc.multiply(arr, pa.scalar(scale)), pa.scalar(0.5))),
+            pa.int64(),
+        )
+
+    def derive(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less_equal(t["l_shipdate"], pa.scalar(cutoff)))
+        disc = pc.multiply(
+            t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+        )
+        charge = pc.multiply(disc, pc.add(pa.scalar(1.0), t["l_tax"]))
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "l_quantity": t["l_quantity"],
+                "base_c": _scaled(t["l_extendedprice"], 100.0),
+                "disc_c": _scaled(disc, 10_000.0),
+                "charge_c": _scaled(charge, 1_000_000.0),
+                "l_discount": t["l_discount"],
+            }
+        )
+
+    out = (
+        ds.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("base_c", alias_name="base_c"),
+            Sum("disc_c", alias_name="disc_c"),
+            Sum("charge_c", alias_name="charge_c"),
+            Mean("l_quantity", alias_name="avg_qty"),
+            Mean("l_discount", alias_name="avg_disc"),
+            Count(alias_name="count_order"),
+        )
+    )
+    df = out.to_pandas()
+    # no final round: int/scale is one IEEE division, bit-identical to the
+    # oracle; round(2) would re-introduce a half-boundary rule mismatch
+    # (pandas half-even vs DuckDB half-away — observed at .965)
+    df["sum_qty"] = df["sum_qty"].round(2)
+    df["sum_base_price"] = df.pop("base_c") / 100.0
+    df["sum_disc_price"] = df.pop("disc_c") / 10_000.0
+    df["sum_charge"] = df.pop("charge_c") / 1_000_000.0
+    for c in ("avg_qty", "avg_disc"):
+        df[c] = df[c].round(4)
+    cols = ["l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
+            "sum_disc_price", "sum_charge", "avg_qty", "avg_disc", "count_order"]
+    return df[cols].sort_values(
+        ["l_returnflag", "l_linestatus"]
+    ).reset_index(drop=True)
+
+
+def _embedding_pairs_exact(sf_dir: str) -> pd.DataFrame:
+    """Exact all-pairs cosine >= 0.4 (verifiable baseline for the
+    bucketed near-dup scale path)."""
+    import ray.data as rd
+
+    from pipeline.extras.ann import exact_cosine_pairs
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    df = exact_cosine_pairs(ds, threshold=0.4)
+    df["cosine"] = df["cosine"].round(4)
+    return df
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -481,6 +593,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scrub_documents": _scrub_documents,
         "langid_documents": _langid_documents,
         "doc_fingerprints": _doc_fingerprints,
+        "dedup_keep_first": _dedup_keep_first,
+        "lineitem_pricing": _lineitem_pricing,
+        "embedding_pairs_exact": _embedding_pairs_exact,
     }
 
 
@@ -592,8 +707,55 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY rank <= {ANN_K}
             ORDER BY query_id, rank
         """,
+        # The testdata documents corpus is PII-free prose (verified: the
+        # conformance detector yields zero spans at every sf). The oracle
+        # below is therefore a FALSE-POSITIVE gate on the full scrub
+        # operator: if any engine span fires, n_pii_spans and the sha256
+        # of the scrubbed text both diverge from the identity and the
+        # value-hash goes red. Detector recall on PII-bearing text is
+        # evidenced separately by the conformance suite (span F1 + per-row
+        # sha parity, tests/test_conformance.py).
+        "scrub_documents": """
+            SELECT doc_id, CAST(0 AS BIGINT) AS n_pii_spans,
+                   sha256(text) AS content_sha256
+            FROM documents ORDER BY doc_id
+        """,
+        "doc_fingerprints": """
+            SELECT doc_id, md5(text) AS fingerprint
+            FROM documents ORDER BY doc_id
+        """,
+        "dedup_keep_first": """
+            SELECT d.doc_id, d.source, d.n_chars
+            FROM documents d
+            JOIN (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text) w
+              USING (doc_id)
+            ORDER BY d.doc_id
+        """,
+        "lineitem_pricing": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) / 100.0 AS sum_base_price,
+                   sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000.0 + 0.5) AS BIGINT)) / 10000.0 AS sum_disc_price,
+                   sum(CAST(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000000.0 + 0.5) AS BIGINT)) / 1000000.0 AS sum_charge,
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   round(avg(l_discount), 4) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "embedding_pairs_exact": """
+            WITH n AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            )
+            SELECT a.vec_id AS a, b.vec_id AS b,
+                   round(list_cosine_similarity(a.v, b.v), 4) AS cosine
+            FROM n a JOIN n b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.v, b.v) >= 0.4
+            ORDER BY a, b
+        """,
         # minhash_dup_pairs / simhash_dup_pairs / embedding_near_dups /
-        # scrub_documents / langid_documents / doc_fingerprints /
-        # ann_topk_ivf: no SQL equivalent (sketches, model scoring,
-        # approximate search) -> rows-only checks.
+        # langid_documents / ann_topk_ivf: no SQL equivalent (sketches,
+        # model scoring, approximate search) -> rows-only checks.
     }

@@ -33,11 +33,26 @@ import pipeline
 from pipeline.ray_pipeline import flagship_pipeline
 
 
-def _ledger_hash(shas: list[str]) -> str:
-    h = hashlib.sha256()
-    for s in sorted(shas):
-        h.update(s.encode())
-    return h.hexdigest()
+def partition_ledger(ds: "ray.data.Dataset") -> tuple[int, str]:
+    """(n_rows, ledger hex): order-insensitive 64-bit sum of per-row
+    sha256-prefix ints, reduced to one tiny row per batch inside
+    map_batches — the driver never materializes row data (the old form
+    take_all'd every content_sha256 string; ~100 MB per GB partition)."""
+    import numpy as np
+    import pyarrow as pa
+
+    def digest(t):
+        sh = t["content_sha256"].to_pylist()
+        d = np.fromiter((int(s[:15], 16) for s in sh), dtype=np.int64, count=len(sh))
+        return pa.table({"n": pa.array([len(sh)], pa.int64()),
+                         "d": pa.array([int(d.sum())], pa.int64())})
+
+    rows = ds.select_columns(["content_sha256"]).map_batches(
+        digest, batch_format="pyarrow", batch_size=8192, zero_copy_batch=True,
+    ).take_all()  # one 16-byte row per batch
+    n = sum(r["n"] for r in rows)
+    total = sum(r["d"] for r in rows) & ((1 << 64) - 1)  # mod-2^64: order-free
+    return n, f"{total:016x}"
 
 
 def plan_partitions(input_files: list[str], files_per_partition: int = 1) -> list[list[str]]:
@@ -126,15 +141,14 @@ def run_partitioned(
         missing = set(SCRUB_OUT.names) - written_cols
         if missing:
             raise RuntimeError(f"partition {pid}: missing columns {sorted(missing)}")
-        shas = [r["content_sha256"] for r in committed.select_columns(["content_sha256"]).take_all()]
-        n_rows = len(shas)
+        n_rows, ledger = partition_ledger(committed)
 
         tmp.rename(final)  # atomic commit of the data...
         manifest = {
             "partition_id": pid,
             "input_files": files,
             "n_rows": n_rows,
-            "ledger_sha256": _ledger_hash(shas),
+            "ledger64": ledger,
             "wall_sec": round(time.monotonic() - t0, 3),
             "engine_version": pipeline.__version__,
             "profile": profile,
@@ -157,5 +171,5 @@ def global_ledger(out_dir: str | Path) -> str:
     manifests = committed_partitions(out_dir)
     h = hashlib.sha256()
     for pid in sorted(manifests):
-        h.update(manifests[pid]["ledger_sha256"].encode())
+        h.update(manifests[pid]["ledger64"].encode())
     return h.hexdigest()

@@ -166,6 +166,39 @@ def ivf_topk(
     return res[["query_id", "vec_id", "score", "rank"]]
 
 
+def exact_cosine_pairs(
+    ds: "ray.data.Dataset", threshold: float, *,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> pd.DataFrame:
+    """EXACT all-pairs cosine >= threshold (the verifiable baseline; the
+    centroid-bucketed embedding_near_dup_pairs is the scale path). The
+    normalized corpus matrix is broadcast ONCE via ray.put and every batch
+    computes its batch x corpus block, emitting only (a < b) pairs above
+    threshold — O(n^2) compute distributed over batches, O(n*d) broadcast
+    memory. Suitable while the full matrix fits the object store."""
+    corpus = ds.select_columns([id_col, vec_col]).to_pandas()
+    ids_all = corpus[id_col].to_numpy()
+    m_all = _norm_rows(np.stack(corpus[vec_col].to_numpy()).astype(np.float64))
+    ref = ray.put((ids_all, m_all))
+
+    def block(batch: pa.Table) -> pa.Table:
+        cids, cm = ray.get(ref)
+        bids = batch[id_col].to_numpy(zero_copy_only=False)
+        bm = _norm_rows(_to_matrix(batch[vec_col]))
+        s = bm @ cm.T  # n_batch x n_corpus
+        bi, cj = np.nonzero((s >= threshold) & (bids[:, None] < cids[None, :]))
+        return pa.table(
+            {"a": pa.array(bids[bi], pa.int64()),
+             "b": pa.array(cids[cj], pa.int64()),
+             "cosine": pa.array(s[bi, cj], pa.float64())}
+        )
+
+    out = ds.map_batches(
+        block, batch_format="pyarrow", batch_size=1024, zero_copy_batch=True,
+    ).to_pandas()
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
 def embedding_near_dup_pairs(
     ds: "ray.data.Dataset", threshold: float = 0.95, *,
     id_col: str = "vec_id", vec_col: str = "embedding", n_clusters: int = 16,

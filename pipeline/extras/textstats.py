@@ -49,6 +49,21 @@ def fingerprint_stage(batch: pa.Table, *, text_col: str = "text") -> pa.Table:
     return batch.append_column("fingerprint", pa.array(fps, pa.int64()))
 
 
+def content_md5_stage(
+    batch: pa.Table, *, text_col: str = "text", out_col: str = "fingerprint",
+) -> pa.Table:
+    """Content fingerprint as md5 hex — the SQL-checkable variant
+    (DuckDB md5() produces the identical digest), complementing the
+    rolling-hash fingerprint above."""
+    import hashlib
+
+    fps = [
+        hashlib.md5(t.encode()).hexdigest()
+        for t in batch[text_col].to_pylist()
+    ]
+    return batch.append_column(out_col, pa.array(fps, pa.string()))
+
+
 _STOPWORDS = {
     "the", "and", "of", "a", "to", "in", "is", "for", "on", "with", "as",
     "by", "at", "from", "that", "this", "it", "an", "be", "or",

@@ -82,33 +82,70 @@ def _repo_partials(batch: pa.Table) -> pa.Table:
     return pa.concat_tables([sums_tbl, blob_row])
 
 
+# Above this combiner-output size the driver-side reduce (take_all of the
+# per-batch partial rows + key blobs) switches to the distributed groupby
+# form. The blob bytes are 8 B per INPUT row, so the threshold bounds what
+# the driver ever materializes (~64 MB -> ~8M input rows).
+DRIVER_REDUCE_MAX_BYTES = 64 * 1024 * 1024
+
+
+def _explode_blob_rows(t: pa.Table) -> pa.Table:
+    """Blob rows -> one (key64, repo_code) row per input row, emitted
+    inside map_batches so the dup-count shuffle never touches the driver."""
+    ks = [np.frombuffer(b, np.int64) for b in t["key_blob"].to_pylist() if b is not None]
+    rs = [np.frombuffer(b, np.int64) for b in t["repo_blob"].to_pylist() if b is not None]
+    if not ks:
+        return pa.table({"k": pa.array([], pa.int64()),
+                         "repo_code": pa.array([], pa.int64())})
+    return pa.table({"k": pa.array(np.concatenate(ks)),
+                     "repo_code": pa.array(np.concatenate(rs))})
+
+
+def _distributed_dup_counts(partials_ds: "ray.data.Dataset") -> dict[int, int]:
+    """Scale path for per-repo dup-content counts: groupby(key64) count —
+    only the duplicate keys (small by premise) reach the driver."""
+    from ray.data.aggregate import Max
+
+    dups = (
+        partials_ds.map_batches(_explode_blob_rows, batch_format="pyarrow")
+        .groupby("k")
+        .aggregate(Count(alias_name="n"), Max("repo_code", alias_name="repo_code"))
+        .filter(expr="n > 1")
+        .to_pandas()
+    )
+    if dups.empty:  # empty to_pandas loses column names
+        return {}
+    out: dict[int, int] = {}
+    for rc, n in zip(dups["repo_code"], dups["n"]):
+        out[int(rc)] = out.get(int(rc), 0) + int(n) - 1
+    return out
+
+
 def repo_stats(
-    scrubbed: "ray.data.Dataset", use_ray_groupby: bool = False,
+    scrubbed: "ray.data.Dataset", use_ray_groupby: bool | None = None,
 ) -> "ray.data.Dataset":
     """A6: per-repo files/bytes/keep-rate/dup-content stats.
 
-    - sums: batch combiner emits <= n_repos rows per batch; merged either
-      by a Ray groupby(repo) aggregate (use_ray_groupby=True — the
-      canonical wide-op form) or by a driver-side pandas reduce over the
-      combiner output (default; identical result, skips a shuffle whose
-      fixed cost dominates at this combiner-output size. With millions of
-      repos the combiner output grows and the groupby form is the one
-      that scales — flip the flag).
-    - exact dup counts: each batch ships ONE compact binary row of
-      (repo,sha) key64s (8 bytes/row network volume); the final unique()
-      is a driver-side numpy reduction. At 10^12 rows this final merge
-      would itself become a tree of merge tasks (the arrays are sorted-
-      mergeable); a row-wise groupby((repo,sha)) shuffle measured ~8-10x
-      slower at bench scale with identical results.
+    Two-level aggregation with an automatic size switch:
+    - below DRIVER_REDUCE_MAX_BYTES of combiner output (default at bench
+      scale), the <= n_repos-rows-per-batch partials and the compact
+      8 B/row key blobs are reduced on the driver — identical result,
+      skips a shuffle whose ~5 s fixed cost dominates locally;
+    - above it, sums go through a Ray groupby(repo) aggregate and dup
+      counts through a distributed groupby(key64) (see
+      _distributed_dup_counts) — nothing proportional to the corpus ever
+      lands on the driver.
+    use_ray_groupby forces a path (tests exercise both).
     """
     partials_ds = scrubbed.map_batches(
         _repo_partials, batch_format="pyarrow", batch_size=8192,
         zero_copy_batch=True,
-    )
+    ).materialize()
+    if use_ray_groupby is None:
+        use_ray_groupby = (partials_ds.size_bytes() or 0) > DRIVER_REDUCE_MAX_BYTES
     if use_ray_groupby:
         import pyarrow.compute as pc
 
-        partials_ds = partials_ds.materialize()
         final = (
             partials_ds.map_batches(
                 lambda t: t.drop_columns(["key_blob", "repo_blob"]).filter(
@@ -126,12 +163,7 @@ def repo_stats(
             .sort_values("repo")
             .reset_index(drop=True)
         )
-        blob_rows = partials_ds.map_batches(
-            lambda t: t.select(["key_blob", "repo_blob"]).filter(
-                pc.is_valid(t["key_blob"])
-            ),
-            batch_format="pyarrow",
-        ).take_all()
+        dup_by_repocode = _distributed_dup_counts(partials_ds)
     else:
         rows = partials_ds.take_all()
         sums = pd.DataFrame(
@@ -147,18 +179,18 @@ def repo_stats(
             .reset_index()
         )
         blob_rows = [r for r in rows if r["repo"] == ""]
-    keys = np.concatenate(
-        [np.frombuffer(r["key_blob"], dtype=np.int64) for r in blob_rows]
-    ) if blob_rows else np.empty(0, dtype=np.int64)
-    repos = np.concatenate(
-        [np.frombuffer(r["repo_blob"], dtype=np.int64) for r in blob_rows]
-    ) if blob_rows else np.empty(0, dtype=np.int64)
-    uniq, first_idx, counts = np.unique(keys, return_index=True, return_counts=True)
-    dup_mask = counts > 1
-    dup_by_repocode: dict[int, int] = {}
-    for idx, c in zip(first_idx[dup_mask], counts[dup_mask]):
-        rc = int(repos[idx])
-        dup_by_repocode[rc] = dup_by_repocode.get(rc, 0) + int(c - 1)
+        keys = np.concatenate(
+            [np.frombuffer(r["key_blob"], dtype=np.int64) for r in blob_rows]
+        ) if blob_rows else np.empty(0, dtype=np.int64)
+        repos = np.concatenate(
+            [np.frombuffer(r["repo_blob"], dtype=np.int64) for r in blob_rows]
+        ) if blob_rows else np.empty(0, dtype=np.int64)
+        uniq, first_idx, counts = np.unique(keys, return_index=True, return_counts=True)
+        dup_mask = counts > 1
+        dup_by_repocode = {}
+        for idx, c in zip(first_idx[dup_mask], counts[dup_mask]):
+            rc = int(repos[idx])
+            dup_by_repocode[rc] = dup_by_repocode.get(rc, 0) + int(c - 1)
 
     codes = pd.util.hash_array(
         final["repo"].to_numpy(dtype=object)
@@ -231,12 +263,104 @@ def hash_join(
     )
 
 
-def exact_dedup(scrubbed: "ray.data.Dataset") -> "ray.data.Dataset":
-    """§2.7: keep the first (repo, path) per content_sha256 — hash-partition
-    + per-group head. Key is a uniform hash: no skew possible."""
-    def first_per_group(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(["repo", "path"]).head(1)
+# Above this many distinct contents the winner set no longer broadcasts;
+# the join-back switches to a hash semi-join on the row key.
+EXACT_DEDUP_BROADCAST_MAX = 2_000_000
 
-    return scrubbed.groupby("content_sha256").map_groups(
-        first_per_group, batch_format="pandas"
+
+def _row_key_col(t: pa.Table) -> pa.Array:
+    """Unique sortable row key: repo \\x00 path \\x00 commit. The \\x00
+    separator (smaller than any content byte) makes string order equal
+    tuple order, so Min over it == first (repo, path, commit)."""
+    import pyarrow.compute as pc
+
+    return pc.binary_join_element_wise(
+        t["repo"], t["path"], t["commit"], "\x00"
     )
+
+
+def keep_first_by(
+    ds: "ray.data.Dataset", *, group_col: str, order_col: str,
+    broadcast_max: int = EXACT_DEDUP_BROADCAST_MAX,
+) -> "ray.data.Dataset":
+    """Generic keep-first: retain the row with the minimum order_col per
+    group_col. The wide op moves only (group, order) key pairs through a
+    groupby().Min aggregate; the winner order values come back as a
+    broadcast pc.is_in filter (map-only) or, above broadcast_max winners,
+    a hash semi-join. Requires order_col values to be globally unique
+    (winner membership tests order_col alone)."""
+    import ray as _ray
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Min
+
+    winners = (
+        ds.select_columns([group_col, order_col])
+        .groupby(group_col)
+        .aggregate(Min(order_col, alias_name="_win"))
+        .materialize()
+    )
+    if winners.count() <= broadcast_max:
+        vals = pa.array(winners.select_columns(["_win"]).to_pandas()["_win"])
+        ref = _ray.put(vals)
+
+        def keep(batch: pa.Table) -> pa.Table:
+            want = _ray.get(ref)
+            return batch.filter(pc.is_in(batch[order_col], value_set=want))
+
+        return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+    cols = ds.schema().names
+    joined = hash_join(
+        ds, winners.select_columns(["_win"]), on=order_col, right_on="_win"
+    )
+    return joined.select_columns(cols)
+
+
+def exact_dedup(
+    scrubbed: "ray.data.Dataset", *,
+    broadcast_max: int = EXACT_DEDUP_BROADCAST_MAX,
+) -> "ray.data.Dataset":
+    """§2.7: keep the first (repo, path, commit) per content_sha256.
+
+    The wide op moves only KEYS, never content: (sha, row_key) rows go
+    through a groupby(sha).Min(row_key) aggregate — ~100 B/row — and the
+    winner row-keys come back as either a broadcast pc.is_in filter
+    (map-only over the corpus; default below broadcast_max winners) or a
+    hash semi-join on the unique row key above it. Either way the content
+    column crosses the wire at most once, in the semi-join case, instead
+    of the old groupby(sha).map_groups which shuffled every full row.
+    Assumes (repo, path, commit) identifies a row (exact full-duplicate
+    rows would all be kept)."""
+    import ray as _ray
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Min
+
+    keys = scrubbed.select_columns(
+        ["content_sha256", "repo", "path", "commit"]
+    ).map_batches(
+        lambda t: pa.table(
+            {"content_sha256": t["content_sha256"], "rk": _row_key_col(t)}
+        ),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    winners = keys.groupby("content_sha256").aggregate(
+        Min("rk", alias_name="rk")
+    ).materialize()
+    n_winners = winners.count()
+    if n_winners <= broadcast_max:
+        rks = pa.array(winners.select_columns(["rk"]).to_pandas()["rk"])
+        ref = _ray.put(rks)
+
+        def keep_winners(batch: pa.Table) -> pa.Table:
+            want = _ray.get(ref)
+            return batch.filter(pc.is_in(_row_key_col(batch), value_set=want))
+
+        return scrubbed.map_batches(
+            keep_winners, batch_format="pyarrow", zero_copy_batch=True
+        )
+    cols = scrubbed.schema().names
+    with_rk = scrubbed.map_batches(
+        lambda t: t.append_column("rk", _row_key_col(t)),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    joined = hash_join(with_rk, winners.select_columns(["rk"]), on="rk")
+    return joined.select_columns(cols)

@@ -58,6 +58,48 @@ def test_minhash_lsh_finds_planted_dups():
     assert (pairs["jaccard"] >= 0.6).all()
 
 
+def test_minhash_distributed_bucket_path_matches(monkeypatch):
+    """Size switch: force the distributed groupby bucket-count path and
+    assert identical verified pairs vs the driver-reduce path."""
+    import pipeline.extras.dedup as dd
+
+    ds, _, _ = _dup_docs_ds()
+    base = dd.minhash_lsh_pairs(ds, threshold=0.6).to_pandas()
+    monkeypatch.setattr(dd, "DRIVER_REDUCE_MAX_ROWS", 0)
+    dist = dd.minhash_lsh_pairs(ds, threshold=0.6).to_pandas()
+    assert base.sort_values(["a", "b"]).values.tolist() == \
+        dist.sort_values(["a", "b"]).values.tolist()
+
+
+def test_batch_signatures_match_single_doc():
+    from pipeline.extras.dedup import (
+        batch_minhash_signatures, batch_simhash64, minhash_signature,
+    )
+
+    texts = ["", "one", "alpha beta gamma delta", "x y z " * 50,
+             "alpha beta gamma delta epsilon zeta"]
+    sigs = batch_minhash_signatures(texts)
+    for i, t in enumerate(texts):
+        assert (sigs[i] == minhash_signature(t)).all(), i
+    sims = batch_simhash64(texts)
+    assert sims[0] == 0  # empty doc
+    assert sims[2] != sims[3]
+    # stable across chunking boundaries
+    assert (batch_simhash64(texts * 3)[:5] == sims).all()
+
+
+def test_shingles_k_generalized():
+    from pipeline.extras.dedup import _shingles, jaccard
+
+    t = "a b c d e f g"
+    assert len(_shingles(t, k=2)) == 6
+    assert len(_shingles(t, k=3)) == 5
+    assert len(_shingles(t, k=4)) == 4
+    # k is actually honored: 2-gram overlap differs from 3-gram overlap
+    a, b = "a b c d e", "a b x d e"
+    assert jaccard(a, b, 2) != jaccard(a, b, 3)
+
+
 def test_jaccard_semantics():
     from pipeline.extras.dedup import jaccard
 

@@ -71,6 +71,46 @@ def test_exact_dedup_keeps_first(scrubbed_ds):
     assert got == exp
 
 
+def test_repo_stats_dup_counts_planted():
+    """Planted same-repo duplicate content: both reduce paths must report
+    the same nonzero n_dup_content (the fixture corpus has none, so this
+    is the only coverage of the dup-count logic)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from pipeline.partition import repo_stats
+
+    import hashlib
+
+    rows = []
+    for repo, n, ndup in [("org/a", 6, 2), ("org/b", 4, 0), ("org/c", 5, 3)]:
+        for i in range(n):
+            tag = 0 if i <= ndup else i
+            sha = hashlib.sha256(f"{repo}-{tag}".encode()).hexdigest()
+            rows.append({"repo": repo, "path": f"f{i}.py", "commit": "c" * 40,
+                         "content": f"text {repo} {tag}",
+                         "content_sha256": sha, "keep": i % 2 == 0})
+    ds = rd.from_pandas(pd.DataFrame(rows))
+    a = repo_stats(ds, use_ray_groupby=False).to_pandas().sort_values("repo")
+    b = repo_stats(ds, use_ray_groupby=True).to_pandas().sort_values("repo")
+    assert a["n_dup_content"].tolist() == [2, 0, 3]
+    assert b["n_dup_content"].tolist() == [2, 0, 3]
+
+
+def test_exact_dedup_join_path_matches(scrubbed_ds):
+    """broadcast_max=0 forces the hash semi-join back-path; identical
+    kept rows as the broadcast filter."""
+    from pipeline.partition import exact_dedup
+
+    a = exact_dedup(scrubbed_ds).to_pandas().sort_values(
+        ["repo", "path", "commit"]).reset_index(drop=True)
+    b = exact_dedup(scrubbed_ds, broadcast_max=0).to_pandas().sort_values(
+        ["repo", "path", "commit"]).reset_index(drop=True)
+    assert list(a.columns) == list(b.columns)
+    assert (a["content_sha256"].values == b["content_sha256"].values).all()
+    assert len(a) == len(b)
+
+
 def test_salted_group_counts(scrubbed_ds):
     from pipeline.partition import salted_group_counts
 
@@ -114,7 +154,7 @@ def test_checkpoint_resume(code_fixture, tmp_path):
     assert s2["total_rows"] == s1["total_rows"]
 
     m = committed_partitions(out2)[0]
-    assert set(m) >= {"input_files", "n_rows", "ledger_sha256", "wall_sec", "engine_version"}
+    assert set(m) >= {"input_files", "n_rows", "ledger64", "wall_sec", "engine_version"}
     assert json.loads((out2 / "_manifests" / "part-00000.json").read_text())["partition_id"] == 0
 
 
