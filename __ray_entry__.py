@@ -22,7 +22,13 @@ import pyarrow as pa
 def _docs(sf_dir: str):
     import ray.data as rd
 
-    return rd.read_parquet(f"{sf_dir}/documents.parquet")
+    from pipeline._util import clean_batch
+
+    # metadata strip fuses into the read task; keeps block schemas
+    # hashable for Ray's schema dedup (see pipeline._util.clean_batch)
+    return rd.read_parquet(f"{sf_dir}/documents.parquet").map_batches(
+        clean_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
 
 
 def entry() -> Any:

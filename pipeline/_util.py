@@ -43,3 +43,11 @@ def hex_digest(*parts: object, n: int = 40) -> str:
         ).hexdigest()
         i += 1
     return out[:n]
+
+
+def clean_batch(t):
+    """Drop Arrow schema metadata (zero-copy). pandas-written parquet
+    attaches a metadata dict that makes pa.Schema unhashable; Ray then
+    logs 'Failed to hash the schemas (for deduplication)' on every block
+    concat and loses its schema-dedup fast path."""
+    return t.replace_schema_metadata(None) if t.schema.metadata else t

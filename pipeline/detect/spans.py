@@ -62,6 +62,35 @@ def resolve_overlaps(cands: list[Span]) -> list[Span]:
 _WORD_RE = re.compile(r"\S+")
 
 
+def spans_to_bilou_offsets(
+    offsets: list[tuple[int, int]], spans: list[Span],
+) -> list[str]:
+    """Reference-exact span→token BILOU over ARBITRARY token offsets —
+    including a subword tokenizer's offset_mapping, where one word yields
+    several tokens. Special tokens (offset (0, 0)) are skipped and keep
+    "O" (the reference maps them to -100 at id-encoding time, outside
+    this alignment). Overlap rule: tok_end > span_start and
+    tok_start < span_end; 1 overlapping token -> U-, else B-/I-*/L-
+    [ref: pii_synth/build_datasets.py:57-86]."""
+    labels = ["O"] * len(offsets)
+    for sp in sorted(spans):
+        idxs = [
+            i
+            for i, (ts, te) in enumerate(offsets)
+            if not (ts == 0 and te == 0) and te > sp.start and ts < sp.end
+        ]
+        if not idxs:
+            continue
+        if len(idxs) == 1:
+            labels[idxs[0]] = "U-" + sp.label
+        else:
+            labels[idxs[0]] = "B-" + sp.label
+            for i in idxs[1:-1]:
+                labels[i] = "I-" + sp.label
+            labels[idxs[-1]] = "L-" + sp.label
+    return labels
+
+
 def spans_to_bilou(text: str, spans: list[Span]) -> tuple[list[str], list[str]]:
     """Whitespace-word-level BILOU labels.
 
@@ -76,20 +105,5 @@ def spans_to_bilou(text: str, spans: list[Span]) -> tuple[list[str], list[str]]:
     tokens: list[tuple[int, int, str]] = [
         (m.start(), m.end(), m.group()) for m in _WORD_RE.finditer(text)
     ]
-    labels = ["O"] * len(tokens)
-    for sp in sorted(spans):
-        idxs = [
-            i
-            for i, (ts, te, _) in enumerate(tokens)
-            if te > sp.start and ts < sp.end
-        ]
-        if not idxs:
-            continue
-        if len(idxs) == 1:
-            labels[idxs[0]] = "U-" + sp.label
-        else:
-            labels[idxs[0]] = "B-" + sp.label
-            for i in idxs[1:-1]:
-                labels[i] = "I-" + sp.label
-            labels[idxs[-1]] = "L-" + sp.label
+    labels = spans_to_bilou_offsets([(ts, te) for ts, te, _ in tokens], spans)
     return [t[2] for t in tokens], labels

@@ -25,7 +25,7 @@ import pyarrow as pa
 
 import ray.data
 
-from pipeline._util import sha256_hex
+from pipeline._util import clean_batch, sha256_hex
 from pipeline.detect.scrub import scrub_text
 from pipeline.quality.decide import decide_batch
 from pipeline.quality.heuristics import heuristic_batch
@@ -44,12 +44,17 @@ def read_code_table(path: str | list[str], **kwargs) -> "ray.data.Dataset":
     if "override_num_blocks" not in kwargs:
         n_cpus = int(_ray.cluster_resources().get("CPU", 8))
         kwargs["override_num_blocks"] = max(16, 2 * n_cpus)
-    return ray.data.read_parquet(path, **kwargs)
+    # metadata strip fuses into the read task: downstream schemas stay
+    # hashable (see pipeline._util.clean_batch)
+    return ray.data.read_parquet(path, **kwargs).map_batches(
+        clean_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
 
 
 # --------------------------------------------------------------- stages
 
 def heuristics_stage(batch: pa.Table, *, column: str = "content") -> pa.Table:
+    batch = clean_batch(batch)
     cols = heuristic_batch(batch[column])
     for name, arr in cols.items():
         batch = batch.append_column(name, pa.array(arr))
@@ -69,6 +74,7 @@ class LangIdScorer:
         self.column = column
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        batch = clean_batch(batch)
         texts = batch[self.column].to_pylist()
         langs, conf = self.model.predict_batch(texts)
         batch = batch.append_column("lang_pred", pa.array(langs, pa.string()))
@@ -83,6 +89,7 @@ class PerplexityScorer:
         self.column = column
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        batch = clean_batch(batch)
         texts = batch[self.column].to_pylist()
         ppl = self.model.score_batch(texts)
         return batch.append_column("perplexity", pa.array(ppl))
@@ -114,6 +121,7 @@ class QualityScorer:
         self.with_heuristics = with_heuristics
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        batch = clean_batch(batch)
         if self.with_heuristics:
             batch = heuristics_stage(batch, column=self.column)
         texts = batch[self.column].to_pylist()
@@ -129,6 +137,7 @@ def scrub_stage(batch: pa.Table, *, column: str = "content", profile: str = "cod
     sha256 (the per-row parity invariant)."""
     import pyarrow.compute as pc
 
+    batch = clean_batch(batch)
     texts = batch[column].to_pylist()
     n = len(texts)
     if profile == "code":
@@ -204,17 +213,24 @@ def flagship_pipeline(
 
     lang_ref = _ray.put(LangIdModel.default())     # fit once, broadcast
     ppl_ref = _ray.put(PerplexityModel.default())
-    ds = ds.map_batches(
-        heuristics_stage, batch_format="pyarrow", batch_size=batch_size,
-        zero_copy_batch=True,
-    )
     if fuse_scorers:
+        # heuristics run INSIDE the scorer actors (with_heuristics=True):
+        # one actor-pool boundary for heuristics+langid+ppl instead of a
+        # separate task stage — each boundary costs an object-store
+        # write+read of the full batch
         ds = ds.map_batches(
             QualityScorer, batch_format="pyarrow", batch_size=batch_size,
-            fn_constructor_kwargs={"lang_ref": lang_ref, "ppl_ref": ppl_ref},
+            fn_constructor_kwargs={
+                "lang_ref": lang_ref, "ppl_ref": ppl_ref,
+                "with_heuristics": True,
+            },
             concurrency=langid_concurrency, num_cpus=1, zero_copy_batch=True,
         )
     else:
+        ds = ds.map_batches(
+            heuristics_stage, batch_format="pyarrow", batch_size=batch_size,
+            zero_copy_batch=True,
+        )
         ds = ds.map_batches(
             LangIdScorer, batch_format="pyarrow", batch_size=batch_size,
             fn_constructor_kwargs={"model_ref": lang_ref},

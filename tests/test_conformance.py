@@ -96,3 +96,64 @@ def test_ray_conformance_matches_oracle(tmp_path):
     oracle = oracle_scrub_frame(out["text"].tolist())
     assert (out["content_sha256"].values == oracle["content_sha256"].values).all()
     assert (out["content_sha256"] == out["expected_sha256"]).all()
+
+
+def test_subword_bilou_matches_reference_overlap_rule():
+    """Replay the reference's span->token alignment on a SUBWORD offset
+    mapping (multiple tokens per word, BPE-style), including special
+    tokens at (0, 0) [ref: pii_synth/build_datasets.py:57-86]. The
+    expected labels below are an independent transcription of the
+    reference loop, not a call into the engine."""
+    from pipeline.detect.spans import Span, spans_to_bilou_offsets
+
+    text = "email kofi.vexler@mailhost.com or call 555-0199 now"
+    email = Span(6, 30, "EMAIL")
+    phone = Span(39, 47, "PHONE")
+    # BPE-ish pieces: CLS, "email", "Ġkofi", ".", "vex", "ler", "@",
+    # "mail", "host", ".", "com", "Ġor", "Ġcall", "Ġ555", "-", "0199",
+    # "Ġnow", SEP  (offsets include the leading space like RoBERTa's
+    # offset_mapping does for Ġ tokens)
+    offsets = [
+        (0, 0), (0, 5), (5, 10), (10, 11), (11, 14), (14, 17), (17, 18),
+        (18, 22), (22, 26), (26, 27), (27, 30), (30, 33), (33, 38),
+        (38, 42), (42, 43), (43, 47), (47, 51), (0, 0),
+    ]
+
+    # independent transcription of the reference algorithm
+    expected = ["O"] * len(offsets)
+    for ent_start, ent_end, ent_label in [(6, 30, "EMAIL"), (39, 47, "PHONE")]:
+        idxs = []
+        for tidx, (ts, te) in enumerate(offsets):
+            if ts == te == 0:
+                continue
+            if te <= ent_start:
+                continue
+            if ts >= ent_end:
+                continue
+            idxs.append(tidx)
+        if len(idxs) == 1:
+            expected[idxs[0]] = f"U-{ent_label}"
+        elif idxs:
+            expected[idxs[0]] = f"B-{ent_label}"
+            expected[idxs[-1]] = f"L-{ent_label}"
+            for t in idxs[1:-1]:
+                expected[t] = f"I-{ent_label}"
+
+    got = spans_to_bilou_offsets(offsets, [email, phone])
+    assert got == expected
+    # the multi-token word really exercises B/I/L across subwords
+    assert got[2] == "B-EMAIL" and got[10] == "L-EMAIL"
+    assert got.count("I-EMAIL") == 7
+    # the "Ġ555" piece STARTS before the phone span (38 < 39) but overlaps
+    assert got[13] == "B-PHONE" and got[15] == "L-PHONE" and got[14] == "I-PHONE"
+    # special tokens stay O
+    assert got[0] == "O" and got[-1] == "O"
+
+
+def test_subword_bilou_single_token_and_miss():
+    from pipeline.detect.spans import Span, spans_to_bilou_offsets
+
+    offsets = [(0, 0), (0, 4), (4, 9), (9, 12), (0, 0)]
+    # span inside one token -> U; span beyond text -> no labels
+    assert spans_to_bilou_offsets(offsets, [Span(5, 8, "AGE")])[2] == "U-AGE"
+    assert spans_to_bilou_offsets(offsets, [Span(50, 60, "AGE")]) == ["O"] * 5
