@@ -168,14 +168,26 @@ def main() -> None:
 
 
 def run_scaling() -> None:
-    """Two-parallelism evidence (BASELINE.md target: efficiency >= 0.8)."""
+    """Two-parallelism evidence (BASELINE.md target: efficiency >= 0.8).
+
+    GRAFT_SCALING_CPUS picks the N,4N pair (default "8,32"). On this
+    single socket the 8->32 pair saturates one shared memory subsystem
+    (no-Ray multiprocessing ceiling 0.666 for the same per-row work, see
+    BENCH/BASELINE.md); a lower pair (e.g. "4,16") measures the engine's
+    scaling without the shared-bandwidth artifact — the closer proxy for
+    the north rule's N->4N NODE scale-out, where each node brings its own
+    memory bandwidth and object store. Both pairs are recorded.
+    """
     results = {}
     # realistic file sizes (~3 KB) so compute dominates per-job overheads,
     # matching the 100 TB scenario better than the tiny unit-test rows
     scaling_rows = os.environ.get("GRAFT_SCALING_ROWS", "400000")
     scaling_lines = os.environ.get("GRAFT_SCALING_LINES", "160")
     n_trials = int(os.environ.get("GRAFT_SCALING_TRIALS", "2"))
-    for ncpu in (8, 32):
+    pair = tuple(
+        int(x) for x in os.environ.get("GRAFT_SCALING_CPUS", "8,32").split(",")
+    )
+    for ncpu in pair:
         env = dict(
             os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_BENCH_QUERIES="0",
             GRAFT_BENCH_WARM="1", GRAFT_BENCH_ROWS=scaling_rows,
@@ -189,19 +201,24 @@ def run_scaling() -> None:
             ).stdout
             trials.append(json.loads(out.strip().splitlines()[-1]))
         results[ncpu] = min(trials, key=lambda d: d["value"])
-    t8, t32 = results[8]["value"], results[32]["value"]
-    eff = (t8 / t32) / (32 / 8)
+    lo, hi = pair
+    t_lo, t_hi = results[lo]["value"], results[hi]["value"]
+    eff = (t_lo / t_hi) / (hi / lo)
     summary = {
-        "sec_8": t8,
-        "sec_32": t32,
-        "files_per_sec_8": results[8]["files_per_sec"],
-        "files_per_sec_32": results[32]["files_per_sec"],
+        f"sec_{lo}": t_lo,
+        f"sec_{hi}": t_hi,
+        f"files_per_sec_{lo}": results[lo]["files_per_sec"],
+        f"files_per_sec_{hi}": results[hi]["files_per_sec"],
+        "cpus": list(pair),
         "scaling_efficiency": round(eff, 3),
-        "bench_rows": results[32]["bench_rows"],
+        "bench_rows": results[hi]["bench_rows"],
     }
     bench_dir = Path(__file__).resolve().parent / "BENCH"
     bench_dir.mkdir(exist_ok=True)
-    (bench_dir / "SCALING.json").write_text(json.dumps(summary, indent=2))
+    out_path = bench_dir / (
+        "SCALING.json" if pair == (8, 32) else f"SCALING_{lo}_{hi}.json"
+    )
+    out_path.write_text(json.dumps(summary, indent=2))
     print(json.dumps(summary))
 
 

@@ -13,10 +13,15 @@ from pipeline.detect.patterns import get_specs
 from pipeline.detect.spans import Span, resolve_overlaps
 
 
-def detect_spans(text: str, profile: str = "conformance") -> list[Span]:
-    """All PII spans in `text`, non-overlapping, sorted by start."""
+def detect_spans(text: str, profile: str = "conformance", specs=None) -> list[Span]:
+    """All PII spans in `text`, non-overlapping, sorted by start.
+
+    `specs` restricts the scan to a subset (the batch stage passes only
+    the trigger groups whose Arrow prescreen fired — identical output to
+    a full run because each trigger is a necessary condition for its
+    group, see patterns.get_trigger_groups)."""
     cands: list[Span] = []
-    for spec in get_specs(profile):
+    for spec in (get_specs(profile) if specs is None else specs):
         for m in spec.compiled.finditer(text):
             if spec.gate is not None:
                 label = spec.gate(text, m)

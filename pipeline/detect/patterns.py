@@ -99,6 +99,10 @@ class PatternSpec:
     gate: GateFn | None = None
     flags: int = re.IGNORECASE
     group: int = 0
+    # trigger-group key: a batch stage may skip this spec for any row
+    # whose Arrow prescreen for the group found no hit (the group trigger
+    # is a NECESSARY condition for this pattern — see TRIGGERS)
+    tg: str = "num"
     compiled: re.Pattern = field(init=False)
 
     def __post_init__(self):
@@ -206,11 +210,11 @@ def _conformance_specs() -> list[PatternSpec]:
     P: list[PatternSpec] = []
 
     # ---- EMAIL [G:350-390, 708-739, M12 noise]
-    P.append(PatternSpec("EMAIL", rf"(?<![A-Za-z0-9_%+.]){ELOCAL}{EAT_COMPACT}{EDOMAIN}"))
+    P.append(PatternSpec("EMAIL", rf"(?<![A-Za-z0-9_%+.]){ELOCAL}{EAT_COMPACT}{EDOMAIN}", tg="email"))
     # " at " word obfuscation [G:719]: domain must be a 2-part TLD domain
-    P.append(PatternSpec("EMAIL", rf"(?<![A-Za-z0-9_%+.]){ELOCAL}{EAT_WORD}{EATOM}{ELSEP}{ETLD}(?![\w@])"))
+    P.append(PatternSpec("EMAIL", rf"(?<![A-Za-z0-9_%+.]){ELOCAL}{EAT_WORD}{EATOM}{ELSEP}{ETLD}(?![\w@])", tg="email"))
     # no-at obfuscation: "john dot gmail dot com" [G:730]
-    P.append(PatternSpec("EMAIL", rf"(?<![A-Za-z0-9_%+.]){ELOCAL} dot {EATOM} dot {ETLD}(?![\w@])"))
+    P.append(PatternSpec("EMAIL", rf"(?<![A-Za-z0-9_%+.]){ELOCAL} dot {EATOM} dot {ETLD}(?![\w@])", tg="email"))
 
     # ---- CREDIT_CARD: bare 13-19 digits + Luhn [G:46,760-761]
     P.append(PatternSpec(None, rf"{NB}\d{{13,19}}{NA}", gate=_gate_luhn))
@@ -306,33 +310,33 @@ def _conformance_specs() -> list[PatternSpec]:
         rf"{NB}\d{{1,4}} {SBASE} {STYPE}, {CITY}, [A-Z]{{2}} \d{{5}}{NA}",
     ))
     P.append(PatternSpec("ADDRESS", rf"{NB}\d{{1,4}} {SBASE} {STYPE}\b"))
-    P.append(PatternSpec("ADDRESS", rf"\b{SBASE} {STYPE}\b"))
-    P.append(PatternSpec("ADDRESS", rf"\b{CITY}\b"))
-    P.append(PatternSpec("ADDRESS", rf"\b{COUNTRY}\b"))
-    P.append(PatternSpec("ADDRESS", rf"\b{STATEF}\b"))
+    P.append(PatternSpec("ADDRESS", rf"\b{SBASE} {STYPE}\b", tg="vocab"))
+    P.append(PatternSpec("ADDRESS", rf"\b{CITY}\b", tg="vocab"))
+    P.append(PatternSpec("ADDRESS", rf"\b{COUNTRY}\b", tg="vocab"))
+    P.append(PatternSpec("ADDRESS", rf"\b{STATEF}\b", tg="vocab"))
     P.append(PatternSpec("ADDRESS", rf"\b(?:apartment|suite|floor) \d{{1,3}}{NA}"))
     P.append(PatternSpec("ADDRESS", rf"{NB}\d{{5}}, \d{{5}}{NA}"))
-    P.append(PatternSpec("ADDRESS", rf"(?<![\w.\-/#]){ABBR}(?![\w\-])", flags=0))
+    P.append(PatternSpec("ADDRESS", rf"(?<![\w.\-/#]){ABBR}(?![\w\-])", flags=0, tg="vocab"))
     P.append(PatternSpec("ADDRESS", rf"(?<![\w.\-/#])[A-Z]{{2}}\d{{2}}{NA}", flags=0))
 
     # ---- ORG: company() analog shapes [G:41]
-    P.append(PatternSpec("ORG", rf"\b{ORGW}, {ORGW} and {ORGW}\b"))
-    P.append(PatternSpec("ORG", rf"\b{ORGW} {SUFFIX}\b"))
-    P.append(PatternSpec("ORG", rf"\b{ORGW}{SEP_D}{ORGW}\b"))
+    P.append(PatternSpec("ORG", rf"\b{ORGW}, {ORGW} and {ORGW}\b", tg="vocab"))
+    P.append(PatternSpec("ORG", rf"\b{ORGW} {SUFFIX}\b", tg="vocab"))
+    P.append(PatternSpec("ORG", rf"\b{ORGW}{SEP_D}{ORGW}\b", tg="vocab"))
 
     # ---- PERSON [G:51-118]
-    P.append(PatternSpec("PERSON", rf"\b{FIRST} {LAST}\b"))
-    P.append(PatternSpec("PERSON", rf"(?<![\w.@]){FIRST}{SEP_P}{LAST}(?:\d{{2}})?{NA}"))
-    P.append(PatternSpec("PERSON", rf"(?<![\w.@]){FIRST}_{LAST}(?:\d{{1,2}})?{NA}"))
-    P.append(PatternSpec("PERSON", rf"(?<![\w.@]){FIRST}\d{{2,3}}{NA}"))
+    P.append(PatternSpec("PERSON", rf"\b{FIRST} {LAST}\b", tg="vocab"))
+    P.append(PatternSpec("PERSON", rf"(?<![\w.@]){FIRST}{SEP_P}{LAST}(?:\d{{2}})?{NA}", tg="vocab"))
+    P.append(PatternSpec("PERSON", rf"(?<![\w.@]){FIRST}_{LAST}(?:\d{{1,2}})?{NA}", tg="vocab"))
+    P.append(PatternSpec("PERSON", rf"(?<![\w.@]){FIRST}\d{{2,3}}{NA}", tg="vocab"))
     P.append(PatternSpec("PERSON", rf"(?<![\w.@])(?:19|20)\d{{2}}{FIRST}{SEP_P}{LAST}{NA}"))
     P.append(PatternSpec("PERSON", rf"(?<![\w.@])(?:19|20)\d{{2}}(?:{FIRST}|{LAST}){NA}"))
     P.append(PatternSpec("PERSON", rf"(?<![\w.@])\d{{2}}(?:{FIRST}|{LAST}){NA}"))
     P.append(PatternSpec("PERSON", rf"(?<![\w.@])[a-z]{{6,20}}\d{{2,6}}{NA}"))
     P.append(PatternSpec("PERSON", rf"(?<![\w.@])[A-Z]\d{{6}}{NA}", flags=0))
     P.append(PatternSpec("PERSON", rf"(?<![\w.@])[A-EG-LN-Z]\d{{2}}{NA}", flags=0))
-    P.append(PatternSpec("PERSON", rf"(?<![\w.@]){INITIALS}(?![\w\-])", flags=0))
-    P.append(PatternSpec("PERSON", rf"(?<![\w.@']){FIRST}(?![\w.\-])"))
+    P.append(PatternSpec("PERSON", rf"(?<![\w.@]){INITIALS}(?![\w\-])", flags=0, tg="vocab"))
+    P.append(PatternSpec("PERSON", rf"(?<![\w.@']){FIRST}(?![\w.\-])", tg="vocab"))
 
     # ---- residual bare numerics (cue-gated; lowest specificity)
     P.append(PatternSpec(None, rf"{NB}\d{{4}}{NA}", gate=_gate_bare4))
@@ -357,11 +361,11 @@ def _code_specs() -> list[PatternSpec]:
     conformance profile [G:767] — profile flag per SURVEY.md §2.8.
     """
     P: list[PatternSpec] = []
-    P.append(PatternSpec("EMAIL", rf"(?<![A-Za-z0-9_%+.])[A-Za-z0-9_%+.]+@[A-Za-z0-9_%+]+(?:\.[A-Za-z0-9_%+]+)+"))
-    P.append(PatternSpec("API_KEY", AWS_KEY, flags=0))
-    P.append(PatternSpec("API_KEY", GH_TOKEN, flags=0))
-    P.append(PatternSpec("API_KEY", HEX_SECRET, group=1))
-    P.append(PatternSpec(None, rf"(?<![\w.])\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}(?![\w.])", gate=_gate_ipv4))
+    P.append(PatternSpec("EMAIL", rf"(?<![A-Za-z0-9_%+.])[A-Za-z0-9_%+.]+@[A-Za-z0-9_%+]+(?:\.[A-Za-z0-9_%+]+)+", tg="email"))
+    P.append(PatternSpec("API_KEY", AWS_KEY, flags=0, tg="apikey"))
+    P.append(PatternSpec("API_KEY", GH_TOKEN, flags=0, tg="apikey"))
+    P.append(PatternSpec("API_KEY", HEX_SECRET, group=1, tg="apikey"))
+    P.append(PatternSpec(None, rf"(?<![\w.])\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}(?![\w.])", gate=_gate_ipv4, tg="ip"))
     P.append(PatternSpec(None, rf"{NB}\d{{13,19}}{NA}", gate=_gate_luhn))
     P.append(PatternSpec("SSN", rf"{NB}\d{{3}}-\d{{2}}-\d{{4}}{NA}"))
     P.append(PatternSpec("PHONE", rf"{NB}\d{{3}}[-.]\d{{3}}[-.]\d{{4}}{NA}"))
@@ -382,3 +386,58 @@ def get_specs(profile: str = "conformance") -> list[PatternSpec]:
         else:
             raise ValueError(f"unknown detector profile: {profile}")
     return _SPEC_CACHE[profile]
+
+
+# --------------------------------------------- trigger groups (prescreen)
+
+# RE2-safe (no lookarounds) NECESSARY conditions per trigger-group key: a
+# row where the Arrow scan finds no hit for a group cannot match any of
+# that group's patterns, so the Python detector skips them for that row.
+# A trigger may over-fire (it is a superset condition) — that only costs
+# a wasted scan, never a missed span.
+_PROFILE_TRIGGERS: dict[str, dict[str, str]] = {
+    "conformance": {
+        # every email form needs an at/dot obfuscation marker
+        "email": r"(?i:@|\[at\]|\(at\)| at | dot |\[dot\])",
+        # every numeric-shaped pattern contains a digit
+        "num": r"[0-9]",
+        # vocab-only PERSON/ORG/ADDRESS shapes need a vocabulary word
+        # (built below from the same alternations the patterns use)
+        "vocab": None,  # filled lazily in get_trigger_groups
+    },
+    "code": {
+        "email": r"@",
+        "apikey": r"AKIA|gh[pousr]_|(?i:api[_-]?key|secret|token|password|passwd)",
+        "ip": r"[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+",
+        "num": r"(?i:[0-9]{9}|[0-9]{3}[-.][0-9]|\([0-9]{3}\)|\+[0-9])",
+    },
+}
+
+
+def _vocab_trigger() -> str:
+    ci = "|".join([FIRST, LAST, ORGW, CITY, COUNTRY, STATEF, SBASE])
+    cs = "|".join([ABBR, INITIALS])
+    return rf"(?i:\b(?:{ci}))|\b(?:{cs})"
+
+
+_TRIGGER_CACHE: dict[str, list[tuple[str, str, list[PatternSpec]]]] = {}
+
+
+def get_trigger_groups(profile: str = "conformance") -> list[tuple[str, str, list[PatternSpec]]]:
+    """[(group key, RE2 trigger regex, specs in group)] for a profile.
+    Union of groups == get_specs(profile); detector results on the union
+    of FIRED groups equal a full-spec run because each trigger is a
+    necessary condition for its group's patterns."""
+    if profile not in _TRIGGER_CACHE:
+        trig = dict(_PROFILE_TRIGGERS[profile])
+        if trig.get("vocab", "") is None:
+            trig["vocab"] = _vocab_trigger()
+        specs = get_specs(profile)
+        keys = sorted({s.tg for s in specs})
+        missing = [k for k in keys if k not in trig]
+        if missing:
+            raise ValueError(f"{profile}: no trigger for groups {missing}")
+        _TRIGGER_CACHE[profile] = [
+            (k, trig[k], [s for s in specs if s.tg == k]) for k in keys
+        ]
+    return _TRIGGER_CACHE[profile]

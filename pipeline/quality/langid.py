@@ -1,14 +1,23 @@
 """Hashed char-n-gram linear language classifier (fastText-lid style, from
 scratch — SURVEY.md L1).
 
-Feature map: byte trigrams of the first SAMPLE_BYTES bytes, hashed into D
-buckets (vectorized numpy rolling-window, no Python loop over chars).
-Model: one L2-normalized profile vector per language; prediction is the
-argmax of cosine scores, confidence a softmax over them. Fit
-deterministically at first use from pipeline.synth.codelang snippets
-(offline env — no lid.176 download; §7.0).
+Feature map: byte trigrams of the first SAMPLE_BYTES utf-8 bytes, hashed
+into D buckets. Model: one L2-normalized profile vector per language;
+prediction is the argmax of cosine scores, confidence a softmax over
+them. Fit deterministically at first use from pipeline.synth.codelang
+snippets (offline env — no lid.176 download; §7.0).
 
-Ray usage: `LangIdScorer` is the T2 actor-pool archetype
+Scoring is one vectorized pass over a CONCATENATED byte stream with
+per-document segment offsets: trigram bucket ids for the whole batch,
+one (row, bucket) sort, run-length counts per document, then a single
+profile gather + per-segment reduceat. No per-document Python, no
+np.unique per doc, and `predict_batch_arrow` reads the Arrow string
+buffers directly (no to_pylist — the flagship is memory-bandwidth bound
+at 32 cores). Per-document results are independent of batch composition
+(segment-local sequential sums), so the Ray stage and the sequential
+oracle agree bit-for-bit.
+
+Ray usage: `QualityScorer`/`LangIdScorer` are the T2 actor-pool archetype
 [ref: evaluation/model_evaluation.py:55-63 — model loaded once, reused
 per record]: the model is built once per actor in __init__, __call__
 scores a whole Arrow batch vectorized.
@@ -17,6 +26,7 @@ scores a whole Arrow batch vectorized.
 from __future__ import annotations
 
 import numpy as np
+import pyarrow as pa
 
 from pipeline._util import rng_for
 from pipeline.synth.codelang import LANGS, TEXT_LANGS, make_snippet
@@ -26,23 +36,31 @@ SAMPLE_BYTES = 768
 _FIT_SNIPPETS = 120
 
 
-def _tri_hashes(text: str) -> np.ndarray:
-    """Hashed byte-trigram bucket ids (multiplicative hash, deterministic)."""
-    b = np.frombuffer(text[:SAMPLE_BYTES].encode("utf-8", "replace"), dtype=np.uint8)
+def _tri_hash_stream(b: np.ndarray) -> np.ndarray:
+    """Hashed byte-trigram bucket ids over a uint8 stream (multiplicative
+    hash, deterministic). uint32 wraparound arithmetic: since D divides
+    2^32, (a*b mod 2^32) mod D == (a*b) mod D — identical buckets to the
+    exact int64 product at half the temp traffic."""
     if b.size < 3:
-        return np.empty(0, dtype=np.int64)
+        return np.empty(0, dtype=np.uint32)
     codes = (
-        b[:-2].astype(np.int64) * 65536
-        + b[1:-1].astype(np.int64) * 256
-        + b[2:].astype(np.int64)
+        b[:-2].astype(np.uint32) * np.uint32(65536)
+        + b[1:-1].astype(np.uint32) * np.uint32(256)
+        + b[2:].astype(np.uint32)
     )
-    return (codes * 2654435761) % D
+    return (codes * np.uint32(2654435761)) % np.uint32(D)
+
+
+def _tri_hashes(text: str) -> np.ndarray:
+    b = np.frombuffer(
+        text.encode("utf-8", "replace")[:SAMPLE_BYTES], dtype=np.uint8
+    )
+    return _tri_hash_stream(b)
 
 
 def sparse_features(text: str) -> tuple[np.ndarray, np.ndarray]:
-    """(bucket ids, L2-normalized counts) — the sparse unit feature vector.
-    Scoring gathers profile columns instead of densifying to D dims (the
-    dense bincount was the hot path: ~2 ms/doc vs ~0.1 ms sparse)."""
+    """(bucket ids, L2-normalized counts) — the sparse unit feature
+    vector of one document (kept for tests/diagnostics)."""
     h = _tri_hashes(text)
     if h.size == 0:
         return h, np.empty(0, dtype=np.float32)
@@ -65,11 +83,42 @@ def _normalize(v: np.ndarray) -> np.ndarray:
     return v / n if n > 0 else v
 
 
+def _clip_segments(
+    data: np.ndarray, off: np.ndarray, clip: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    lens = np.diff(off)
+    lens_c = np.minimum(lens, clip)
+    out_off = np.zeros(len(off), dtype=np.int64)
+    np.cumsum(lens_c, out=out_off[1:])
+    total = int(out_off[-1])
+    if total == 0:
+        return np.empty(0, dtype=np.uint8), out_off
+    pos = np.arange(total, dtype=np.int64) - np.repeat(out_off[:-1], lens_c)
+    idx = np.repeat(off[:-1], lens_c) + pos
+    return data[idx], out_off
+
+
+def _string_buffers(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    odt = np.int64 if pa.types.is_large_string(arr.type) else np.int32
+    bufs = arr.buffers()
+    off = np.frombuffer(bufs[1], dtype=odt)[
+        arr.offset: arr.offset + len(arr) + 1
+    ].astype(np.int64)
+    data = (
+        np.frombuffer(bufs[2], dtype=np.uint8)
+        if bufs[2] is not None else np.empty(0, dtype=np.uint8)
+    )
+    return off, data
+
+
 class LangIdModel:
     _default: "LangIdModel | None" = None
 
     def __init__(self, profiles: np.ndarray, langs: list[str]):
         self.profiles = profiles  # L x D, rows L2-normalized
+        # D x L row-major copy: the per-window gather then touches one
+        # cache line per window instead of L scattered rows
+        self.profiles_t = np.ascontiguousarray(profiles.T)
         self.langs = langs
 
     @classmethod
@@ -98,17 +147,83 @@ class LangIdModel:
             cls._default = cls.fit(samples)
         return cls._default
 
-    def predict_batch(self, texts: list[str]) -> tuple[list[str], np.ndarray]:
-        scores = np.zeros((len(texts), len(self.langs)), dtype=np.float32)
-        for i, t in enumerate(texts):
-            uniq, w = sparse_features(t)
-            if uniq.size:
-                scores[i] = self.profiles[:, uniq] @ w  # cosine via gather
+    def _scores_segments(self, data: np.ndarray, off: np.ndarray) -> np.ndarray:
+        """(n_docs x L) cosine scores over a concatenated pre-clipped byte
+        stream. One sort + run-length count replaces per-doc np.unique;
+        per-doc values do not depend on the rest of the batch."""
+        n = len(off) - 1
+        L = len(self.langs)
+        scores = np.zeros((n, L), dtype=np.float32)
+        if len(data) < 3 or n == 0:
+            return scores
+        lens = np.diff(off)
+        nwin = np.maximum(lens - 2, 0)
+        h_all = _tri_hash_stream(data)  # includes boundary-crossing windows
+        # valid windows of doc i: positions off[i] .. off[i]+nwin[i]-1
+        starts = off[:-1]
+        valid_counts = nwin
+        idx = np.repeat(starts, valid_counts) + (
+            np.arange(int(valid_counts.sum()), dtype=np.int64)
+            - np.repeat(np.cumsum(np.concatenate([[0], valid_counts[:-1]])), valid_counts)
+        )
+        h = h_all[idx]
+        if len(h) == 0:
+            return scores
+        # numerator: sum_b profile[l,b] * cnt_b  ==  sum over ALL window
+        # occurrences of profile[l, h_w] — no uniquing needed. Per-doc
+        # segment sums via reduceat (sequential, segment-local: batch-
+        # composition-invariant).
+        wstart = np.zeros(n, dtype=np.int64)
+        np.cumsum(valid_counts[:-1], out=wstart[1:])
+        contrib = self.profiles_t[h]  # n_windows x L gather (row-major)
+        num = np.add.reduceat(
+            contrib, np.minimum(wstart, len(h) - 1), axis=0
+        )  # n x L (quirk rows masked below)
+        # norm: ||cnt||^2 per doc needs per-bucket counts — one sort of a
+        # combined (row*D + bucket) key, then run-length encode
+        if n < (1 << 15):  # row*D + bucket fits uint32 -> faster sort
+            rows32 = np.repeat(np.arange(n, dtype=np.uint32), valid_counts)
+            key = rows32 * np.uint32(D) + h
+        else:
+            rows64 = np.repeat(np.arange(n, dtype=np.int64), valid_counts)
+            key = rows64 * np.int64(D) + h.astype(np.int64)
+        ks = np.sort(key)
+        new = np.ones(len(ks), dtype=bool)
+        new[1:] = ks[1:] != ks[:-1]
+        run_starts = np.nonzero(new)[0]
+        cnt = np.diff(np.concatenate([run_starts, [len(ks)]])).astype(np.float64)
+        run_rows = (ks[run_starts] // D).astype(np.int64)
+        row_run_off = np.searchsorted(run_rows, np.arange(n))
+        norm_sq = np.add.reduceat(
+            cnt * cnt, np.minimum(row_run_off, len(run_rows) - 1)
+        )
+        norms = np.sqrt(norm_sq)
+        has = valid_counts > 0
+        scores[has] = (num[has] / norms[has, None]).astype(np.float32)
+        return scores
+
+    def _predict_from_scores(self, scores: np.ndarray) -> tuple[list[str], np.ndarray]:
         idx = scores.argmax(axis=1)
         # softmax confidence over cosine scores (temperature sharpens)
         z = np.exp((scores - scores.max(axis=1, keepdims=True)) * 12.0)
-        conf = z[np.arange(len(texts)), idx] / z.sum(axis=1)
+        conf = z[np.arange(len(scores)), idx] / z.sum(axis=1)
         return [self.langs[i] for i in idx], conf
+
+    def predict_batch(self, texts: list[str]) -> tuple[list[str], np.ndarray]:
+        enc = [t.encode("utf-8", "replace")[:SAMPLE_BYTES] for t in texts]
+        off = np.zeros(len(enc) + 1, dtype=np.int64)
+        np.cumsum([len(e) for e in enc], out=off[1:])
+        data = np.frombuffer(b"".join(enc), dtype=np.uint8)
+        return self._predict_from_scores(self._scores_segments(data, off))
+
+    def predict_batch_arrow(self, arr: pa.Array | pa.ChunkedArray) -> tuple[list[str], np.ndarray]:
+        """Predict straight off the Arrow string buffers — bit-identical
+        to predict_batch on the same texts, zero string materialization."""
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        off, data = _string_buffers(arr)
+        data_c, off_c = _clip_segments(data, off, SAMPLE_BYTES)
+        return self._predict_from_scores(self._scores_segments(data_c, off_c))
 
     def predict_one(self, text: str) -> tuple[str, float]:
         langs, conf = self.predict_batch([text])

@@ -4,8 +4,21 @@ SURVEY.md Q1).
 Alphabet: bytes folded to 64 classes (case-folded letters, digits, common
 code punctuation, whitespace, other) so the conditional table is a dense
 64^3 float32 array (1 MiB) — mmap-free, rebuilt deterministically per
-process in under a second. Scoring is fully vectorized: fold bytes,
-rolling-window trigram codes, one fancy-index gather, mean -> 2^H.
+process in under a second.
+
+Scoring is one vectorized pass over a CONCATENATED byte stream with
+per-document segment offsets: fold bytes, rolling trigram codes, one
+fancy-index gather, per-segment sequential sums via np.add.reduceat.
+Segment sums are independent of how documents are batched, so the Ray
+stage (1024-doc batches) and the sequential oracle (one doc at a time)
+produce bit-identical perplexities — the parity invariant.
+
+`score_batch_arrow` reads the Arrow string buffers directly (no Python
+string materialization — at 32 cores the flagship is memory-bandwidth
+bound, and to_pylist+encode per doc was pure extra traffic).
+
+Truncation is BYTE-based (first SAMPLE_BYTES utf-8 bytes): identical
+between the buffer path and the encode path by construction.
 
 Add-k smoothing: logp(c3 | c1 c2) = log2((n3 + k) / (n2 + k * V)).
 """
@@ -13,6 +26,7 @@ Add-k smoothing: logp(c3 | c1 c2) = log2((n3 + k) / (n2 + k * V)).
 from __future__ import annotations
 
 import numpy as np
+import pyarrow as pa
 
 from pipeline._util import rng_for
 from pipeline.synth.codelang import LANGS, TEXT_LANGS, make_snippet
@@ -21,6 +35,7 @@ V = 64
 SAMPLE_BYTES = 1024
 _K = 0.1
 _FIT_SNIPPETS = 160
+_EMPTY_PPL = float(2 ** 16)
 
 # byte -> class fold table
 _FOLD = np.full(256, 63, dtype=np.int64)  # other
@@ -34,11 +49,43 @@ for i, ch in enumerate(" \n\t.,;:(){}[]<>=+-*/\"'#_"):
 
 
 def _codes(text: str) -> np.ndarray:
-    b = np.frombuffer(text[:SAMPLE_BYTES].encode("utf-8", "replace"), dtype=np.uint8)
+    b = np.frombuffer(
+        text.encode("utf-8", "replace")[:SAMPLE_BYTES], dtype=np.uint8
+    )
     c = _FOLD[b]
     if c.size < 3:
         return np.empty(0, dtype=np.int64)
     return c[:-2] * V * V + c[1:-1] * V + c[2:]
+
+
+def _clip_segments(
+    data: np.ndarray, off: np.ndarray, clip: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Gather per-segment prefixes of at most `clip` bytes into a fresh
+    concatenated stream. Returns (clipped data, clipped offsets)."""
+    lens = np.diff(off)
+    lens_c = np.minimum(lens, clip)
+    out_off = np.zeros(len(off), dtype=np.int64)
+    np.cumsum(lens_c, out=out_off[1:])
+    total = int(out_off[-1])
+    if total == 0:
+        return np.empty(0, dtype=np.uint8), out_off
+    pos = np.arange(total, dtype=np.int64) - np.repeat(out_off[:-1], lens_c)
+    idx = np.repeat(off[:-1], lens_c) + pos
+    return data[idx], out_off
+
+
+def _string_buffers(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    odt = np.int64 if pa.types.is_large_string(arr.type) else np.int32
+    bufs = arr.buffers()
+    off = np.frombuffer(bufs[1], dtype=odt)[
+        arr.offset: arr.offset + len(arr) + 1
+    ].astype(np.int64)
+    data = (
+        np.frombuffer(bufs[2], dtype=np.uint8)
+        if bufs[2] is not None else np.empty(0, dtype=np.uint8)
+    )
+    return off, data
 
 
 class PerplexityModel:
@@ -69,16 +116,47 @@ class PerplexityModel:
             cls._default = cls.fit(texts)
         return cls._default
 
-    def score_batch(self, texts: list[str]) -> np.ndarray:
-        out = np.empty(len(texts), dtype=np.float64)
-        for i, t in enumerate(texts):
-            c = _codes(t)
-            if c.size == 0:
-                out[i] = float(2 ** 16)
-                continue
-            h = -float(self.logp[c].mean())
-            out[i] = 2.0 ** h
+    def _score_segments(self, data: np.ndarray, off: np.ndarray) -> np.ndarray:
+        """Perplexity per segment of a concatenated (pre-clipped) byte
+        stream. Per-segment sums use np.add.reduceat — sequential within a
+        segment, independent of neighbors: batch-composition-invariant."""
+        n = len(off) - 1
+        lens = np.diff(off)
+        nwin = np.maximum(lens - 2, 0)
+        out = np.full(n, _EMPTY_PPL, dtype=np.float64)
+        if len(data) < 3:
+            return out
+        c = _FOLD[data]
+        t = c[:-2] * V * V + c[1:-1] * V + c[2:]
+        lp = self.logp[t].astype(np.float64)
+        lp = np.concatenate([lp, [0.0]])  # sentinel: end index == len(t) ok
+        starts = off[:-1]
+        ends = starts + nwin
+        ind = np.empty(2 * n, dtype=np.int64)
+        ind[0::2] = np.minimum(starts, len(lp) - 1)
+        ind[1::2] = np.minimum(ends, len(lp) - 1)
+        sums = np.add.reduceat(lp, ind)[0::2]  # [start, end) segment sums
+        mask = nwin > 0
+        h = -(sums[mask] / nwin[mask])
+        out[mask] = 2.0 ** h
         return out
+
+    def score_batch(self, texts: list[str]) -> np.ndarray:
+        enc = [t.encode("utf-8", "replace")[:SAMPLE_BYTES] for t in texts]
+        off = np.zeros(len(enc) + 1, dtype=np.int64)
+        np.cumsum([len(e) for e in enc], out=off[1:])
+        data = np.frombuffer(b"".join(enc), dtype=np.uint8)
+        return self._score_segments(data, off)
+
+    def score_batch_arrow(self, arr: pa.Array | pa.ChunkedArray) -> np.ndarray:
+        """Score straight off the Arrow string buffers (utf-8 bytes are
+        the buffer bytes — bit-identical to score_batch on the same
+        texts, with zero Python-string materialization)."""
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        off, data = _string_buffers(arr)
+        data_c, off_c = _clip_segments(data, off, SAMPLE_BYTES)
+        return self._score_segments(data_c, off_c)
 
     def score_one(self, text: str) -> float:
         return float(self.score_batch([text])[0])

@@ -75,8 +75,7 @@ class LangIdScorer:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         batch = clean_batch(batch)
-        texts = batch[self.column].to_pylist()
-        langs, conf = self.model.predict_batch(texts)
+        langs, conf = self.model.predict_batch_arrow(batch[self.column])
         batch = batch.append_column("lang_pred", pa.array(langs, pa.string()))
         return batch.append_column("lang_conf", pa.array(conf.astype(np.float64)))
 
@@ -90,19 +89,10 @@ class PerplexityScorer:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         batch = clean_batch(batch)
-        texts = batch[self.column].to_pylist()
-        ppl = self.model.score_batch(texts)
+        ppl = self.model.score_batch_arrow(batch[self.column])
         return batch.append_column("perplexity", pa.array(ppl))
 
 
-# Conservative candidate prescreen for the code profile: a row with no
-# trigger cannot match any code-profile pattern (every pattern needs '@',
-# a 3-digit run, a dotted quad, or a secret keyword), so the Python-side
-# detector is skipped for it. Arrow's RE2 scan is ~20x cheaper per byte.
-_CODE_TRIGGER = (
-    r"@|\d{3}[-.]\d|\(\d{3}\)|\+\d|\d{9}|\d+\.\d+\.\d+\.\d+|AKIA|gh[pousr]_"
-    r"|(?i:api[_-]?key|secret|token|password|passwd)\s*[:=]\s*[\"']?[A-Za-z0-9_\-]{12}"
-)
 
 
 class QualityScorer:
@@ -124,41 +114,82 @@ class QualityScorer:
         batch = clean_batch(batch)
         if self.with_heuristics:
             batch = heuristics_stage(batch, column=self.column)
-        texts = batch[self.column].to_pylist()
-        langs, conf = self.lang.predict_batch(texts)
-        ppl = self.ppl.score_batch(texts)
+        col = batch[self.column]
+        langs, conf = self.lang.predict_batch_arrow(col)
+        ppl = self.ppl.score_batch_arrow(col)
         batch = batch.append_column("lang_pred", pa.array(langs, pa.string()))
         batch = batch.append_column("lang_conf", pa.array(conf.astype(np.float64)))
         return batch.append_column("perplexity", pa.array(ppl))
 
 
 def scrub_stage(batch: pa.Table, *, column: str = "content", profile: str = "code") -> pa.Table:
-    """Stateless scrub: compiled-regex detection + [LABEL] redaction +
-    sha256 (the per-row parity invariant)."""
+    """Stateless scrub: per-trigger-group Arrow RE2 prescreen (a group's
+    trigger is a NECESSARY condition for its patterns — see
+    patterns.get_trigger_groups), compiled-regex detection restricted to
+    the fired groups, [LABEL] redaction + sha256 (the per-row parity
+    invariant). Untriggered rows never materialize a Python string: the
+    scrubbed column reuses the input array and the sha is computed
+    straight from the Arrow buffer slice."""
+    import hashlib
+
     import pyarrow.compute as pc
 
+    from pipeline.detect.detector import detect_spans
+    from pipeline.detect.patterns import get_trigger_groups
+    from pipeline.detect.scrub import apply_spans
+
     batch = clean_batch(batch)
-    texts = batch[column].to_pylist()
-    n = len(texts)
-    if profile == "code":
-        triggered = pc.match_substring_regex(
-            batch[column], _CODE_TRIGGER
-        ).to_numpy(zero_copy_only=False)
-    else:
-        triggered = np.ones(n, dtype=bool)
+    col = batch[column]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    groups = get_trigger_groups(profile)
+    masks = np.stack([
+        pc.match_substring_regex(col, trig).to_numpy(zero_copy_only=False)
+        for _, trig, _ in groups
+    ]) if n else np.zeros((len(groups), 0), dtype=bool)
+    any_mask = masks.any(axis=0)
+
     n_spans = np.zeros(n, dtype=np.int64)
-    scrubbed: list[str] = [""] * n
-    hashes: list[str] = [""] * n
-    for i, t in enumerate(texts):
-        if triggered[i]:
-            s, spans = scrub_text(t, profile)
-            n_spans[i] = len(spans)
-        else:
-            s = t
-        scrubbed[i] = s
-        hashes[i] = sha256_hex(s)
+    hashes: list[str | None] = [None] * n
+    repl_idx: list[int] = []
+    repl_txt: list[str] = []
+    if any_mask.any():
+        idx = np.nonzero(any_mask)[0]
+        texts = col.take(pa.array(idx)).to_pylist()
+        for j, i in enumerate(idx):
+            specs = [
+                s for g, (_, _, sp) in enumerate(groups) if masks[g, i]
+                for s in sp
+            ]
+            spans = detect_spans(texts[j], profile, specs=specs)
+            if spans:
+                scrubbed = apply_spans(texts[j], spans)
+                n_spans[i] = len(spans)
+                hashes[i] = sha256_hex(scrubbed)
+                repl_idx.append(int(i))
+                repl_txt.append(scrubbed)
+
+    # untouched rows: sha over the utf-8 buffer slice (no str round-trip)
+    odt = np.int64 if pa.types.is_large_string(col.type) else np.int32
+    bufs = col.buffers()
+    off = np.frombuffer(bufs[1], dtype=odt)[col.offset: col.offset + n + 1]
+    data = bufs[2]
+    mv = memoryview(data)[:0] if data is None else memoryview(data)
+    for i in range(n):
+        if hashes[i] is None:
+            hashes[i] = hashlib.sha256(mv[off[i]: off[i + 1]]).hexdigest()
+
+    if repl_idx:
+        repl_mask = np.zeros(n, dtype=bool)
+        repl_mask[repl_idx] = True
+        scrubbed_col = pc.replace_with_mask(
+            col, pa.array(repl_mask), pa.array(repl_txt, col.type)
+        )
+    else:
+        scrubbed_col = col
     batch = batch.append_column("n_pii_spans", pa.array(n_spans))
-    batch = batch.append_column("content_scrubbed", pa.array(scrubbed, pa.string()))
+    batch = batch.append_column("content_scrubbed", scrubbed_col)
     return batch.append_column("content_sha256", pa.array(hashes, pa.string()))
 
 
