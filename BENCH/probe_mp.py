@@ -1,0 +1,71 @@
+"""No-Ray hardware-ceiling probe: run the engine's per-row workload
+(heuristics + langid + perplexity + scrub, current buffer-native forms)
+under plain multiprocessing at two process counts on one socket.
+
+The ratio of per-process throughputs bounds what ANY framework can show
+for 8->32 scaling of this workload on this box (shared memory bandwidth,
+clock droop). Compare BENCH/SCALING*.json against this ceiling.
+
+Usage: python BENCH/probe_mp.py [nproc_lo nproc_hi]   (default 8 32)
+"""
+
+from __future__ import annotations
+
+import json
+import multiprocessing as mp
+import sys
+import time
+
+
+def _work(args) -> int:
+    import pyarrow as pa
+
+    from pipeline.quality.heuristics import heuristic_batch
+    from pipeline.quality.langid import LangIdModel
+    from pipeline.quality.perplexity import PerplexityModel
+    from pipeline.ray_pipeline import scrub_stage
+
+    texts, n_iter = args
+    lm, pm = LangIdModel.default(), PerplexityModel.default()
+    tbl = pa.table({"content": pa.array(texts, pa.string())})
+    col = tbl["content"].combine_chunks()
+    done = 0
+    for _ in range(n_iter):
+        heuristic_batch(col)
+        lm.predict_batch_arrow(col)
+        pm.score_batch_arrow(col)
+        scrub_stage(tbl, profile="code")
+        done += len(texts)
+    return done
+
+
+def run(nproc: int, texts, n_iter: int) -> float:
+    with mp.get_context("spawn").Pool(nproc) as pool:
+        pool.map(_work, [(texts[:64], 1)] * nproc)  # warm (model fit)
+        t0 = time.monotonic()
+        res = pool.map(_work, [(texts, n_iter)] * nproc)
+        dt = time.monotonic() - t0
+    return sum(res) / dt / nproc  # rows/s per process
+
+
+def main() -> None:
+    lo, hi = (int(sys.argv[1]), int(sys.argv[2])) if len(sys.argv) > 2 else (8, 32)
+    from pipeline.synth.codelang import LANGS, make_snippet
+    from pipeline._util import rng_for
+
+    texts = [
+        make_snippet(LANGS[i % len(LANGS)], rng_for("probe", i), n_lines=20)
+        for i in range(1024)
+    ]
+    r_lo = run(lo, texts, 6)
+    r_hi = run(hi, texts, 6)
+    print(json.dumps({
+        "nproc_lo": lo, "nproc_hi": hi,
+        "rows_per_sec_per_proc_lo": round(r_lo, 1),
+        "rows_per_sec_per_proc_hi": round(r_hi, 1),
+        "mp_ceiling_efficiency": round(r_hi / r_lo, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

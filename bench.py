@@ -33,9 +33,10 @@ SCRATCH = Path("/tmp/graft_bench/out")
 
 QUERY_NAMES = [
     "doc_length_stats", "doc_source_counts", "doc_top10_longest",
-    "doc_token_counts", "dedup_exact", "events_hourly",
+    "doc_token_counts", "dedup_exact", "dedup_keep_first", "events_hourly",
     "events_user_sessions", "ann_topk", "minhash_dup_pairs",
     "simhash_dup_pairs", "scrub_documents", "langid_documents",
+    "lineitem_pricing", "embedding_pairs_exact", "doc_fingerprints",
 ]
 
 

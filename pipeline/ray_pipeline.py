@@ -26,7 +26,6 @@ import pyarrow as pa
 import ray.data
 
 from pipeline._util import clean_batch, sha256_hex
-from pipeline.detect.scrub import scrub_text
 from pipeline.quality.decide import decide_batch
 from pipeline.quality.heuristics import heuristic_batch
 from pipeline.quality.langid import LangIdModel
@@ -237,10 +236,17 @@ def flagship_pipeline(
     """Assemble the full quality-filter + scrub graph (lazy)."""
     import ray as _ray
 
+    try:
+        n_cpus = int(_ray.cluster_resources().get("CPU", 4))
+    except Exception:
+        n_cpus = 4
     if langid_concurrency is None:
         langid_concurrency = _default_pool_size() * (2 if fuse_scorers else 1)
+        # never reserve every CPU: task stages (read/scrub/decide/write)
+        # starve and the streaming executor deadlocks on tiny clusters
+        langid_concurrency = max(1, min(langid_concurrency, n_cpus - 1))
     if ppl_concurrency is None:
-        ppl_concurrency = _default_pool_size()
+        ppl_concurrency = max(1, min(_default_pool_size(), n_cpus - 1))
 
     lang_ref = _ray.put(LangIdModel.default())     # fit once, broadcast
     ppl_ref = _ray.put(PerplexityModel.default())

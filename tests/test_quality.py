@@ -143,3 +143,40 @@ def test_code_profile_scrubs_code_secrets():
     # IPv4 must NOT be scrubbed in the conformance profile [G:767 hard neg]
     _, conf_spans = scrub_text("IPv4 10.1.2.3", profile="conformance")
     assert conf_spans == []
+
+
+def test_trigger_groups_cover_all_specs():
+    from pipeline.detect.patterns import get_specs, get_trigger_groups
+
+    for prof in ("conformance", "code"):
+        grouped = [s for _, _, sp in get_trigger_groups(prof) for s in sp]
+        assert len(grouped) == len(get_specs(prof))
+        assert {id(s) for s in grouped} == {id(s) for s in get_specs(prof)}
+
+
+def test_scrub_stage_matches_scalar_scrub():
+    """The per-trigger-group prescreen must be invisible: scrub_stage over
+    a batch == scrub_text per row, for both profiles, including rows that
+    fire zero/one/many groups."""
+    import pyarrow as pa
+
+    from pipeline._util import sha256_hex
+    from pipeline.detect.scrub import scrub_text
+    from pipeline.ray_pipeline import scrub_stage
+    from pipeline.synth.corpus import make_conformance_row
+
+    texts = [make_conformance_row(i)["text"] for i in range(120)]
+    texts += [
+        "", "no pii here at all", "x" * 3000,
+        "email bob@x.com phone 555-123-4567 ip 10.0.0.1 AKIA" + "A" * 16,
+        "api_key = 'abcdefghij0123456789'",
+        "héllo wörld ünïcode ☃ 42",
+    ]
+    for profile in ("conformance", "code"):
+        batch = pa.table({"content": pa.array(texts, pa.string())})
+        out = scrub_stage(batch, profile=profile)
+        for i, t in enumerate(texts):
+            s, spans = scrub_text(t, profile)
+            assert out["n_pii_spans"][i].as_py() == len(spans), (profile, i)
+            assert out["content_scrubbed"][i].as_py() == s, (profile, i)
+            assert out["content_sha256"][i].as_py() == sha256_hex(s), (profile, i)
