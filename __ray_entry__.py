@@ -574,6 +574,99 @@ def _embedding_pairs_exact(sf_dir: str) -> pd.DataFrame:
     return df
 
 
+def _orders_topn_per_cust(sf_dir: str) -> pd.DataFrame:
+    """Window rank: top-3 orders by price per customer —
+    groupby(key).map_groups over sorted groups (the per-key ordered
+    pattern; SQL: row_number() OVER (PARTITION BY ...))."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    )
+
+    def top3(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True]).head(3)
+        g = g.assign(rnk=np.arange(1, len(g) + 1, dtype=np.int64))
+        return g
+
+    out = ds.groupby("o_custkey").map_groups(top3, batch_format="pandas")
+    df = out.to_pandas()
+    df["o_totalprice"] = df["o_totalprice"].round(2)
+    return df.sort_values(["o_custkey", "rnk"]).reset_index(drop=True)
+
+
+def _events_sliding_mean(sf_dir: str) -> pd.DataFrame:
+    """Sliding window over an ordered per-key stream: mean of the current
+    + 2 preceding events' value per user (rows-preceding frame)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
+    )
+
+    def roll(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        g["sliding_mean"] = g["value"].rolling(3, min_periods=1).mean().round(3)
+        return g[["event_id", "sliding_mean"]]
+
+    out = ds.groupby("user_id").map_groups(roll, batch_format="pandas")
+    return out.to_pandas().sort_values("event_id").reset_index(drop=True)
+
+
+def _customers_no_orders(sf_dir: str) -> pd.DataFrame:
+    """Anti-join: customers with no order above $400k (every customer has
+    SOME order in this data, so the bare anti-join is empty). The matching
+    order-customer key set is filtered + aggregated distinct (keys-only
+    wide op) and broadcast as a vectorized is_in filter — the anti-join
+    never shuffles the big side."""
+    import pyarrow.compute as pc
+    import ray as _ray
+    import ray.data as rd
+
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    )
+    okeys = (
+        rd.read_parquet(
+            f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+        )
+        .filter(expr="o_totalprice > 400000")
+        .groupby("o_custkey")
+        .count()
+        .select_columns(["o_custkey"])
+        .to_pandas()["o_custkey"].to_numpy()
+    )
+    ref = _ray.put(pa.array(okeys))
+
+    def anti(batch: pa.Table) -> pa.Table:
+        have = _ray.get(ref)
+        return batch.filter(
+            pc.invert(pc.is_in(batch["c_custkey"], value_set=have))
+        )
+
+    out = cust.map_batches(anti, batch_format="pyarrow", zero_copy_batch=True)
+    df = out.to_pandas()
+    if df.empty:
+        return pd.DataFrame(columns=["c_custkey", "c_name"])
+    return df.sort_values("c_custkey").reset_index(drop=True)
+
+
+def _events_distinct_users(sf_dir: str) -> pd.DataFrame:
+    """Grouped distinct count: exact n-distinct users per event_type via
+    two-level groupby (distinct pairs first, then count — the partial-
+    aggregate shape; no count-distinct state on one reducer)."""
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+    )
+    pairs = ds.groupby(["event_type", "user_id"]).aggregate(Count(alias_name="_n"))
+    out = pairs.groupby("event_type").aggregate(Count(alias_name="n_users"))
+    return out.to_pandas().sort_values("event_type").reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "doc_length_stats": _doc_length_stats,
@@ -602,6 +695,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_keep_first": _dedup_keep_first,
         "lineitem_pricing": _lineitem_pricing,
         "embedding_pairs_exact": _embedding_pairs_exact,
+        "orders_topn_per_cust": _orders_topn_per_cust,
+        "events_sliding_mean": _events_sliding_mean,
+        "customers_no_orders": _customers_no_orders,
+        "events_distinct_users": _events_distinct_users,
     }
 
 
@@ -760,6 +857,37 @@ def oracle_sql() -> dict[str, str]:
             FROM n a JOIN n b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.v, b.v) >= 0.4
             ORDER BY a, b
+        """,
+        "orders_topn_per_cust": """
+            SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS o_totalprice,
+                   CAST(row_number() OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_totalprice DESC, o_orderkey ASC
+                   ) AS BIGINT) AS rnk
+            FROM orders
+            QUALIFY rnk <= 3
+            ORDER BY o_custkey, rnk
+        """,
+        "events_sliding_mean": """
+            SELECT event_id,
+                   round(avg(value) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+                   ), 3) AS sliding_mean
+            FROM events ORDER BY event_id
+        """,
+        "customers_no_orders": """
+            SELECT c_custkey, c_name FROM customer c
+            WHERE NOT EXISTS (
+                SELECT 1 FROM orders o
+                WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000
+            )
+            ORDER BY c_custkey
+        """,
+        "events_distinct_users": """
+            SELECT event_type,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM events GROUP BY event_type ORDER BY event_type
         """,
         # minhash_dup_pairs / simhash_dup_pairs / embedding_near_dups /
         # langid_documents / ann_topk_ivf: no SQL equivalent (sketches,
