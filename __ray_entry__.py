@@ -667,6 +667,48 @@ def _events_distinct_users(sf_dir: str) -> pd.DataFrame:
     return out.to_pandas().sort_values("event_type").reset_index(drop=True)
 
 
+def _supplier_revenue(sf_dir: str) -> pd.DataFrame:
+    """Fact-dimension revenue rollup: lineitem x supplier via broadcast
+    join (dimension ray.put once — the right join for a small side), then
+    grouped scaled-int money sums (see lineitem_pricing for why)."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    from pipeline.partition import broadcast_join
+
+    supp = rd.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"]
+    ).to_pandas().rename(columns={"s_suppkey": "l_suppkey"})
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_suppkey", "l_extendedprice", "l_discount"],
+    )
+
+    def derive(t: pa.Table) -> pa.Table:
+        disc = pc.multiply(
+            t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+        )
+        disc_c = pc.cast(
+            pc.floor(pc.add(pc.multiply(disc, pa.scalar(10_000.0)), pa.scalar(0.5))),
+            pa.int64(),
+        )
+        return pa.table({"l_suppkey": t["l_suppkey"], "disc_c": disc_c})
+
+    joined = broadcast_join(
+        li.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True),
+        supp, on="l_suppkey", columns=["s_name"],
+    )
+    out = joined.groupby("s_name").aggregate(
+        Count(alias_name="n_items"), Sum("disc_c", alias_name="disc_c")
+    )
+    df = out.to_pandas()
+    df["revenue"] = df.pop("disc_c").astype("int64") / 10_000.0
+    return df[["s_name", "n_items", "revenue"]].sort_values(
+        "s_name"
+    ).reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "doc_length_stats": _doc_length_stats,
@@ -699,6 +741,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding_mean": _events_sliding_mean,
         "customers_no_orders": _customers_no_orders,
         "events_distinct_users": _events_distinct_users,
+        "supplier_revenue": _supplier_revenue,
     }
 
 
@@ -888,6 +931,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type,
                    CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
             FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "supplier_revenue": """
+            SELECT s.s_name, count(*) AS n_items,
+                   sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 10000.0 + 0.5) AS BIGINT)) / 10000.0 AS revenue
+            FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            GROUP BY s.s_name ORDER BY s.s_name
         """,
         # minhash_dup_pairs / simhash_dup_pairs / embedding_near_dups /
         # langid_documents / ann_topk_ivf: no SQL equivalent (sketches,

@@ -86,3 +86,19 @@ def hash_split_column(
         return batch.append_column("split", pa.array(split, pa.string()))
 
     return ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def write_csv(ds: "ray.data.Dataset", out_dir: str) -> None:
+    """CSV sink (one file per block — resumable partitioned layout like
+    the parquet sink)."""
+    ds.write_csv(out_dir)
+
+
+def read_csv(path: str, **kwargs) -> "ray.data.Dataset":
+    """CSV source; `ray.data.read_csv` with the engine's metadata strip
+    fused in (see pipeline._util.clean_batch)."""
+    from pipeline._util import clean_batch
+
+    return ray.data.read_csv(path, **kwargs).map_batches(
+        clean_batch, batch_format="pyarrow", zero_copy_batch=True
+    )

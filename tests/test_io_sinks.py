@@ -69,3 +69,17 @@ def test_hash_split_deterministic_and_proportional():
     m1 = dict(zip(out["id"], out["split"]))
     m2 = dict(zip(out2["id"], out2["split"]))
     assert m1 == m2
+
+
+def test_csv_round_trip(tmp_path):
+    import pandas as pd
+    import ray.data as rd
+
+    from pipeline.io_sinks import read_csv, write_csv
+
+    df = pd.DataFrame(
+        {"a": [1, 2, 3, 4], "b": ["x", "y", "z", "w"], "c": [0.5, 1.5, 2.5, 3.5]}
+    )
+    write_csv(rd.from_pandas(df).repartition(2), str(tmp_path / "csv"))
+    back = read_csv(str(tmp_path / "csv")).to_pandas().sort_values("a").reset_index(drop=True)
+    assert back.equals(df)
