@@ -176,9 +176,11 @@ class LangIdModel:
         wstart = np.zeros(n, dtype=np.int64)
         np.cumsum(valid_counts[:-1], out=wstart[1:])
         contrib = self.profiles_t[h]  # n_windows x L gather (row-major)
-        num = np.add.reduceat(
-            contrib, np.minimum(wstart, len(h) - 1), axis=0
-        )  # n x L (quirk rows masked below)
+        # sentinel zero row so an empty row's index (== len(h)) is valid
+        # WITHOUT clamping — a clamp would shift the previous row's
+        # segment boundary and corrupt its sum (found by hypothesis)
+        contrib = np.vstack([contrib, np.zeros((1, L), dtype=contrib.dtype)])
+        num = np.add.reduceat(contrib, wstart, axis=0)  # n x L
         # norm: ||cnt||^2 per doc needs per-bucket counts — one sort of a
         # combined (row*D + bucket) key, then run-length encode
         if n < (1 << 15):  # row*D + bucket fits uint32 -> faster sort
@@ -195,7 +197,7 @@ class LangIdModel:
         run_rows = (ks[run_starts] // D).astype(np.int64)
         row_run_off = np.searchsorted(run_rows, np.arange(n))
         norm_sq = np.add.reduceat(
-            cnt * cnt, np.minimum(row_run_off, len(run_rows) - 1)
+            np.concatenate([cnt * cnt, [0.0]]), row_run_off  # sentinel, no clamp
         )
         norms = np.sqrt(norm_sq)
         has = valid_counts > 0

@@ -70,3 +70,53 @@ def test_apply_spans_masks_right_to_left():
     spans = detect_spans(text)
     out = apply_spans(text, spans)
     assert "123-45-6789" not in out and "[SSN]" in out
+
+
+@given(
+    st.lists(
+        st.text(alphabet=st.characters(max_codepoint=0x2FFF), max_size=300),
+        min_size=1, max_size=12,
+    )
+)
+@settings(max_examples=40, deadline=None)
+def test_scorer_batch_composition_invariance(texts):
+    """The parity invariant behind the Ray stages: scoring a doc alone is
+    BIT-identical to scoring it inside any batch (segment-local reduceat
+    math), for langid and perplexity, string path and arrow path."""
+    import pyarrow as pa
+
+    from pipeline.quality.langid import LangIdModel
+    from pipeline.quality.perplexity import PerplexityModel
+
+    lm, pm = LangIdModel.default(), PerplexityModel.default()
+    langs, confs = lm.predict_batch(texts)
+    ppls = pm.score_batch(texts)
+    arr = pa.array(texts, pa.string())
+    langs_a, confs_a = lm.predict_batch_arrow(arr)
+    ppls_a = pm.score_batch_arrow(arr)
+    assert langs == langs_a
+    assert (confs == confs_a).all()
+    assert (ppls == ppls_a).all()
+    for i, t in enumerate(texts):
+        l1, c1 = lm.predict_one(t)
+        assert l1 == langs[i] and c1 == confs[i]
+        assert pm.score_one(t) == ppls[i]
+
+
+@given(
+    st.lists(
+        st.text(alphabet=st.characters(max_codepoint=0x2FFF), max_size=200),
+        min_size=1, max_size=10,
+    )
+)
+@settings(max_examples=40, deadline=None)
+def test_heuristic_batch_matches_scalar(texts):
+    import pyarrow as pa
+
+    from pipeline.quality.heuristics import heuristic_batch, heuristic_scores
+
+    got = heuristic_batch(pa.array(texts, pa.string()))
+    for i, t in enumerate(texts):
+        exp = heuristic_scores(t)
+        for k, v in exp.items():
+            assert abs(float(got[k][i]) - float(v)) < 1e-12, (k, repr(t))
