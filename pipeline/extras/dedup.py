@@ -251,17 +251,21 @@ def _hot_keys_distributed(bands: "ray.data.Dataset", keys: list[str]) -> np.ndar
     return np.sort(hot["k"].to_numpy().astype(np.int64))
 
 
-def _hot_bucket_members(
+# Above this many hot-bucket member rows, candidate-pair generation and
+# verification run as distributed stages instead of driver loops.
+DRIVER_PAIRS_MAX = 200_000
+
+
+def _hot_bucket_members_ds(
     bands: "ray.data.Dataset", keys: list[str], *, n_rows: int | None = None,
-) -> pd.DataFrame:
-    """Rows of `bands` whose bucket key appears >= 2 times.
+) -> "ray.data.Dataset":
+    """Dataset of `bands` rows whose bucket key appears >= 2 times.
 
     Size-switched: below DRIVER_REDUCE_MAX_ROWS the count reduce runs on
     the driver (a Ray groupby has a ~5 s fixed floor locally); above it,
     a distributed groupby. Either way the hot-key set is then broadcast
-    and membership is a vectorized searchsorted filter. The hot-member
-    frame is small because the duplicate fraction is small; MAX_BUCKET
-    caps degenerate buckets downstream."""
+    and membership is a vectorized searchsorted filter. MAX_BUCKET caps
+    degenerate buckets downstream."""
     import ray as _ray
 
     bands = bands.materialize()  # consumed twice: count reduce + filter
@@ -272,7 +276,7 @@ def _hot_bucket_members(
     else:
         hot = _hot_keys_driver(bands, keys)
     if hot.size == 0:
-        return pd.DataFrame(columns=bands.schema().names)
+        return bands.limit(0)
     key_ref = _ray.put(hot)
 
     def filter_hot(batch: pa.Table) -> pa.Table:
@@ -282,7 +286,7 @@ def _hot_bucket_members(
 
     return bands.map_batches(
         filter_hot, batch_format="pyarrow", batch_size=8192
-    ).to_pandas()
+    ).materialize()
 
 
 def _texts_for(ds, ids: set, id_col: str, text_col: str) -> dict:
@@ -303,41 +307,98 @@ def _texts_for(ds, ids: set, id_col: str, text_col: str) -> dict:
     return dict(zip(small[id_col], small[text_col]))
 
 
+def _bucket_pair_frame(ids: list, key) -> list[tuple]:
+    """All (a < b) pairs of a bucket, capped + logged at MAX_BUCKET."""
+    if len(ids) > MAX_BUCKET:
+        logger.warning(
+            "bucket %s truncated: %d members > MAX_BUCKET=%d",
+            key, len(ids), MAX_BUCKET,
+        )
+        ids = ids[:MAX_BUCKET]
+    return [(ids[i], ids[j]) for i in range(len(ids)) for j in range(i + 1, len(ids))]
+
+
 def minhash_lsh_pairs(
     ds: "ray.data.Dataset", *, id_col: str = "doc_id", text_col: str = "text",
     threshold: float = 0.6,
 ) -> "ray.data.Dataset":
     """Candidate pairs via LSH banding, verified with exact n-gram Jaccard.
-    Returns (a, b, jaccard) with a < b, deduplicated."""
+    Returns (a, b, jaccard) with a < b, deduplicated.
+
+    Below DRIVER_PAIRS_MAX hot-member rows, pair generation + verify run
+    on the driver (small); above it they run as distributed stages:
+    per-bucket pair explosion via groupby().map_groups, cross-band dedup
+    via a keys-only groupby, and Jaccard verification in map_batches with
+    only the INVOLVED docs' texts broadcast (bounded by candidate count,
+    never by corpus size)."""
     import ray.data as rd
 
     bands = ds.map_batches(
         lambda t: _band_rows(t, id_col, text_col),
         batch_format="pyarrow", batch_size=1024, zero_copy_batch=True,
     )
-    members = _hot_bucket_members(bands, ["band", "band_hash"])
-    cand: set[tuple] = set()
-    for key, g in members.groupby(["band", "band_hash"], sort=False):
-        ids = sorted(g["doc_id"].unique())
-        if len(ids) > MAX_BUCKET:
-            logger.warning(
-                "minhash bucket %s truncated: %d members > MAX_BUCKET=%d",
-                key, len(ids), MAX_BUCKET,
-            )
-            ids = ids[:MAX_BUCKET]
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                cand.add((ids[i], ids[j]))
-    if not cand:
-        return rd.from_pandas(pd.DataFrame(columns=["a", "b", "jaccard"]))
-    involved = {x for p in cand for x in p}
-    texts = _texts_for(ds, involved, id_col, text_col)
-    rows = []
-    for a, b in sorted(cand):
-        j = jaccard(texts[a], texts[b])
-        if j >= threshold:
-            rows.append({"a": a, "b": b, "jaccard": j})
-    return rd.from_pandas(pd.DataFrame(rows, columns=["a", "b", "jaccard"]))
+    members_ds = _hot_bucket_members_ds(bands, ["band", "band_hash"])
+    n_members = members_ds.count()
+    empty = pd.DataFrame(columns=["a", "b", "jaccard"])
+    if n_members == 0:
+        return rd.from_pandas(empty)
+
+    if n_members <= DRIVER_PAIRS_MAX:
+        members = members_ds.to_pandas()
+        cand: set[tuple] = set()
+        for key, g in members.groupby(["band", "band_hash"], sort=False):
+            cand.update(_bucket_pair_frame(sorted(g["doc_id"].unique()), key))
+        if not cand:
+            return rd.from_pandas(empty)
+        involved = {x for p in cand for x in p}
+        texts = _texts_for(ds, involved, id_col, text_col)
+        rows = [
+            {"a": a, "b": b, "jaccard": j}
+            for a, b in sorted(cand)
+            if (j := jaccard(texts[a], texts[b])) >= threshold
+        ]
+        return rd.from_pandas(pd.DataFrame(rows, columns=["a", "b", "jaccard"]))
+
+    # ---- distributed path
+    import ray as _ray
+
+    def gen_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        key = (int(g["band"].iloc[0]), int(g["band_hash"].iloc[0]))
+        pairs = _bucket_pair_frame(sorted(g["doc_id"].unique()), key)
+        dt = g["doc_id"].dtype  # stable schema even for empty groups
+        return pd.DataFrame(pairs, columns=["a", "b"]).astype({"a": dt, "b": dt})
+
+    cand_ds = members_ds.groupby(["band", "band_hash"]).map_groups(
+        gen_pairs, batch_format="pandas"
+    )
+    distinct = cand_ds.groupby(["a", "b"]).count().select_columns(["a", "b"])
+    distinct = distinct.materialize()
+    inv_df = distinct.to_pandas()  # ids only (16 B/pair)
+    if inv_df.empty:
+        return rd.from_pandas(empty)
+    involved = set(inv_df["a"]) | set(inv_df["b"])
+    texts_ref = _ray.put(_texts_for(ds, involved, id_col, text_col))
+
+    def verify(batch: pa.Table) -> pa.Table:
+        t = _ray.get(texts_ref)
+        out_a, out_b, out_j = [], [], []
+        for a, b in zip(batch["a"].to_pylist(), batch["b"].to_pylist()):
+            j = jaccard(t[a], t[b])
+            if j >= threshold:
+                out_a.append(a)
+                out_b.append(b)
+                out_j.append(j)
+        return pa.table({
+            "a": pa.array(out_a, batch["a"].type),
+            "b": pa.array(out_b, batch["b"].type),
+            "jaccard": pa.array(out_j, pa.float64()),
+        })
+
+    res = distinct.map_batches(
+        verify, batch_format="pyarrow", batch_size=4096
+    ).to_pandas()
+    res = res.sort_values(["a", "b"]).reset_index(drop=True) if len(res) else empty
+    return rd.from_pandas(res)
 
 
 # ------------------------------------------------------------- SimHash
@@ -414,25 +475,52 @@ def simhash_pairs(
 
     bands = ds.map_batches(sim_rows, batch_format="pyarrow", batch_size=1024,
                            zero_copy_batch=True)
-    members = _hot_bucket_members(bands, ["band", "key"])
-    seen: dict[tuple, int] = {}
-    for key, g in members.groupby(["band", "key"], sort=False):
+    members_ds = _hot_bucket_members_ds(bands, ["band", "key"])
+    n_members = members_ds.count()
+    empty = pd.DataFrame(columns=["a", "b", "hamming"])
+    if n_members == 0:
+        return rd.from_pandas(empty)
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        key = (int(g["band"].iloc[0]), int(g["key"].iloc[0]))
         recs = g.drop_duplicates("doc_id").sort_values("doc_id")[["doc_id", "simhash"]].values
         if len(recs) > MAX_BUCKET:
             logger.warning(
                 "simhash bucket %s: %d members > MAX_BUCKET=%d, pair window capped",
                 key, len(recs), MAX_BUCKET,
             )
+        rows = []
         for i in range(len(recs)):
             for j in range(i + 1, min(len(recs), i + MAX_BUCKET)):
-                pair = (int(recs[i][0]), int(recs[j][0]))
-                if pair in seen:
-                    continue
                 d = hamming64(int(recs[i][1]), int(recs[j][1]))
                 if d <= max_hamming:
-                    seen[pair] = d
-    rows = [{"a": a, "b": b, "hamming": d} for (a, b), d in sorted(seen.items())]
-    return rd.from_pandas(pd.DataFrame(rows, columns=["a", "b", "hamming"]))
+                    rows.append((int(recs[i][0]), int(recs[j][0]), d))
+        return pd.DataFrame(rows, columns=["a", "b", "hamming"]).astype("int64")
+
+    if n_members <= DRIVER_PAIRS_MAX:
+        members = members_ds.to_pandas()
+        seen: dict[tuple, int] = {}
+        for _, g in members.groupby(["band", "key"], sort=False):
+            for _, r in bucket_pairs(g).iterrows():
+                seen.setdefault((int(r["a"]), int(r["b"])), int(r["hamming"]))
+        rows = [{"a": a, "b": b, "hamming": d} for (a, b), d in sorted(seen.items())]
+        return rd.from_pandas(pd.DataFrame(rows, columns=["a", "b", "hamming"]))
+
+    # ---- distributed path: per-bucket verify in map_groups, cross-band
+    # dedup via a keys-only groupby (hamming is deterministic per pair,
+    # so Min == the driver path's first-wins)
+    from ray.data.aggregate import Min
+
+    pair_ds = members_ds.groupby(["band", "key"]).map_groups(
+        bucket_pairs, batch_format="pandas"
+    )
+    res = (
+        pair_ds.groupby(["a", "b"])
+        .aggregate(Min("hamming", alias_name="hamming"))
+        .to_pandas()
+    )
+    res = res.sort_values(["a", "b"]).reset_index(drop=True) if len(res) else empty
+    return rd.from_pandas(res[["a", "b", "hamming"]])
 
 
 # ---------------------------------------------------------- exact dedup

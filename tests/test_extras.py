@@ -71,6 +71,23 @@ def test_minhash_distributed_bucket_path_matches(monkeypatch):
         dist.sort_values(["a", "b"]).values.tolist()
 
 
+def test_distributed_pair_paths_match(monkeypatch):
+    """Force the distributed pair-gen + verify stages (DRIVER_PAIRS_MAX=0)
+    and assert identical output to the driver-loop path for both minhash
+    and simhash."""
+    import pipeline.extras.dedup as dd
+
+    ds, _, _ = _dup_docs_ds()
+    mh_base = dd.minhash_lsh_pairs(ds, threshold=0.6).to_pandas()
+    sh_base = dd.simhash_pairs(ds, max_hamming=3).to_pandas()
+    monkeypatch.setattr(dd, "DRIVER_PAIRS_MAX", 0)
+    mh_dist = dd.minhash_lsh_pairs(ds, threshold=0.6).to_pandas()
+    sh_dist = dd.simhash_pairs(ds, max_hamming=3).to_pandas()
+    for base, dist in ((mh_base, mh_dist), (sh_base, sh_dist)):
+        assert base.sort_values(["a", "b"]).values.tolist() == \
+            dist.sort_values(["a", "b"]).values.tolist()
+
+
 def test_batch_signatures_match_single_doc():
     from pipeline.extras.dedup import (
         batch_minhash_signatures, batch_simhash64, minhash_signature,
