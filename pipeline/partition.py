@@ -33,17 +33,23 @@ def size_balanced_repartition(ds: "ray.data.Dataset", target_rows_per_block: int
 
 def _repo_partials(batch: pa.Table) -> pa.Table:
     """Batch-local combiner: per-repo sum rows PLUS one compact binary row
-    of ((repo,sha) key64, repo hash64) arrays for exact dup counting."""
+    of ((repo,sha) key64, repo hash64) arrays for exact dup counting.
+    Accepts either the full scrub output (raw `content` present) or the
+    drop_raw_content projection (precomputed `n_bytes`)."""
     import pyarrow.compute as pc
 
     repo = batch["repo"].to_pandas()
     sha = batch["content_sha256"].to_pylist()
+    if "n_bytes" in batch.column_names:
+        n_bytes = batch["n_bytes"].to_pandas()
+    else:
+        n_bytes = pc.binary_length(
+            pc.cast(batch["content"], pa.binary())
+        ).to_pandas()
     df = pd.DataFrame(
         {
             "repo": repo,
-            "n_bytes": pc.binary_length(
-                pc.cast(batch["content"], pa.binary())
-            ).to_pandas(),
+            "n_bytes": n_bytes,
             "kept": batch["keep"].to_pandas().astype("int64"),
         }
     )

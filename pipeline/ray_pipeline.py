@@ -192,6 +192,19 @@ def scrub_stage(batch: pa.Table, *, column: str = "content", profile: str = "cod
     return batch.append_column("content_sha256", pa.array(hashes, pa.string()))
 
 
+def drop_raw_content_stage(batch: pa.Table, *, column: str = "content") -> pa.Table:
+    """100-TB sink projection: replace the raw content column with its
+    byte length (all downstream consumers — repo_stats, ledger, metrics —
+    need only n_bytes/scrubbed/sha). Halves post-scrub object-store and
+    sink traffic; NOT the default because the oracle-parity harness
+    compares full rows."""
+    import pyarrow.compute as pc
+
+    nb = pc.binary_length(pc.cast(batch[column], pa.binary()))
+    batch = batch.append_column("n_bytes", pc.cast(nb, pa.int64()))
+    return batch.drop_columns([column])
+
+
 def decide_stage(batch: pa.Table, *, column: str = "content") -> pa.Table:
     import pyarrow.compute as pc
 
@@ -232,6 +245,7 @@ def flagship_pipeline(
     langid_concurrency: int | tuple | None = None,
     ppl_concurrency: int | tuple | None = None,
     fuse_scorers: bool = True,
+    drop_raw_content: bool = False,
 ) -> "ray.data.Dataset":
     """Assemble the full quality-filter + scrub graph (lazy)."""
     import ray as _ray
@@ -291,6 +305,11 @@ def flagship_pipeline(
         decide_stage, batch_format="pyarrow", batch_size=batch_size,
         zero_copy_batch=True,
     )
+    if drop_raw_content:
+        ds = ds.map_batches(
+            drop_raw_content_stage, batch_format="pyarrow",
+            batch_size=batch_size, zero_copy_batch=True,
+        )
     return ds
 
 

@@ -185,3 +185,30 @@ def test_broadcast_and_hash_join():
         .sort_values(["k", "v"])
     )
     assert hj["name"].tolist() == ["one", "two", "two"]
+
+
+def test_drop_raw_content_projection(code_fixture):
+    """The 100-TB sink projection: n_bytes replaces raw content and
+    repo_stats consumes either form identically."""
+    import ray.data as rd
+
+    from pipeline.partition import repo_stats
+    from pipeline.ray_pipeline import flagship_pipeline
+
+    full = flagship_pipeline(rd.read_parquet(code_fixture)).materialize()
+    slim = flagship_pipeline(
+        rd.read_parquet(code_fixture), drop_raw_content=True
+    ).materialize()
+    assert "content" not in slim.schema().names
+    assert "n_bytes" in slim.schema().names
+    a = repo_stats(full).to_pandas().sort_values("repo").reset_index(drop=True)
+    b = repo_stats(slim).to_pandas().sort_values("repo").reset_index(drop=True)
+    for col in ["repo", "n_files", "n_bytes", "n_kept", "n_dup_content"]:
+        assert (a[col].values == b[col].values).all(), col
+    # per-row parity columns survive the projection
+    fa = full.select_columns(["repo", "path", "commit", "content_sha256", "keep"]).to_pandas()
+    fb = slim.select_columns(["repo", "path", "commit", "content_sha256", "keep"]).to_pandas()
+    key = ["repo", "path", "commit"]
+    fa = fa.sort_values(key).reset_index(drop=True)
+    fb = fb.sort_values(key).reset_index(drop=True)
+    assert fa.equals(fb)
