@@ -129,6 +129,9 @@ def run_queries() -> dict[str, float]:
 def main() -> None:
     import ray
 
+    # Ray's default undersizes the object store on this box (42.9% of
+    # RAM, warned on every run); 50% is its own recommendation
+    os.environ.setdefault("RAY_DEFAULT_OBJECT_STORE_MEMORY_PROPORTION", "0.5")
     if not ray.is_initialized():
         ray.init(
             address="local", num_cpus=NUM_CPUS, include_dashboard=False,
