@@ -709,6 +709,32 @@ def _supplier_revenue(sf_dir: str) -> pd.DataFrame:
     ).reset_index(drop=True)
 
 
+def _events_clicks_asof(sf_dir: str) -> pd.DataFrame:
+    """As-of join: for each click, the latest same-user purchase at or
+    before the click [pipeline.partition.asof_join — tagged union, one
+    co-partitioning shuffle, per-group merge_asof]."""
+    import ray.data as rd
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type", "value"],
+    )
+    from pipeline.partition import asof_join
+
+    clicks = ev.filter(expr="event_type == 'click'").select_columns(
+        ["event_id", "user_id", "ts"]
+    )
+    purchases = ev.filter(expr="event_type == 'purchase'").select_columns(
+        ["user_id", "ts", "value"]
+    )
+    out = asof_join(clicks, purchases, on="ts", by="user_id", right_cols=["value"])
+    df = out.to_pandas()
+    df["purchase_value"] = df.pop("value_r").round(3)
+    return df[["event_id", "purchase_value"]].sort_values(
+        "event_id"
+    ).reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "doc_length_stats": _doc_length_stats,
@@ -742,6 +768,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_no_orders": _customers_no_orders,
         "events_distinct_users": _events_distinct_users,
         "supplier_revenue": _supplier_revenue,
+        "events_clicks_asof": _events_clicks_asof,
     }
 
 
@@ -931,6 +958,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type,
                    CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
             FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "events_clicks_asof": """
+            SELECT c.event_id, round(p.value, 3) AS purchase_value
+            FROM (SELECT * FROM events WHERE event_type = 'click') c
+            ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+              ON c.user_id = p.user_id AND c.ts >= p.ts
+            ORDER BY c.event_id
         """,
         "supplier_revenue": """
             SELECT s.s_name, count(*) AS n_items,

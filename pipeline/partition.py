@@ -285,6 +285,74 @@ def _row_key_col(t: pa.Table) -> pa.Array:
     )
 
 
+def asof_join(
+    left: "ray.data.Dataset", right: "ray.data.Dataset", *,
+    on: str, by: str, right_cols: list[str], right_suffix: str = "_r",
+) -> "ray.data.Dataset":
+    """As-of join (backward, inclusive): for each left row, the latest
+    right row with right.on <= left.on within the same `by` group —
+    an operator Ray Data lacks, composed per the charter's recipe:
+    tag sides -> schema-aligned union -> groupby(by).map_groups with a
+    per-group sorted pandas merge_asof. ONE hash shuffle on the group key
+    co-partitions both sides.
+
+    Partitioning assumption: a single `by` group fits one worker (the
+    same assumption as sessionization / any per-key ordered-log op).
+    Exact-tie right rows on `on` resolve to the last in (on, original
+    order) — only relevant when two right rows share an identical
+    timestamp."""
+    import pyarrow.compute as pc  # noqa: F401  (schema alignment below)
+
+    l_cols = left.schema().names
+    all_cols = list(l_cols) + [c for c in right.schema().names if c not in l_cols]
+
+    def tag(side: int, schema_cols, other_types):
+        def fn(t: pa.Table) -> pa.Table:
+            t = t.append_column("_side", pa.array(np.full(len(t), side, np.int8)))
+            for c, typ in other_types.items():
+                if c not in t.column_names:
+                    t = t.append_column(c, pa.nulls(len(t), typ))
+            return t.select(schema_cols + ["_side"])
+        return fn
+
+    r_schema = right.schema()
+    l_schema = left.schema()
+    # ray Schema wrapper: parallel .names / .types lists
+    l_types = dict(zip(l_schema.names, l_schema.types))
+    r_types = dict(zip(r_schema.names, r_schema.types))
+    union_types = {**r_types, **l_types}
+    lt = left.map_batches(
+        tag(0, all_cols, {c: t for c, t in union_types.items() if c not in l_types}),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    rt = right.map_batches(
+        tag(1, all_cols, {c: t for c, t in union_types.items() if c not in r_types}),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    keep_right = [on] + [c for c in right_cols if c != on]
+    # the union null-pads each side's missing columns, which upcasts
+    # integer columns to float in the pandas group frames — restore the
+    # left side's integer dtypes (left rows have no nulls in own columns)
+    l_int_cols = [c for c, t in l_types.items() if pa.types.is_integer(t)]
+
+    def join_group(g: pd.DataFrame) -> pd.DataFrame:
+        lg = g[g["_side"] == 0].drop(columns=["_side"]).sort_values(on, kind="mergesort")
+        rg = g[g["_side"] == 1].sort_values(on, kind="mergesort")
+        lg = lg[[c for c in l_cols]]
+        for c in l_int_cols:
+            lg[c] = lg[c].astype("int64")
+        if lg.empty:
+            return lg.assign(**{
+                c + right_suffix: pd.Series(dtype="float64") for c in keep_right if c != on
+            })
+        rsel = rg[keep_right].rename(
+            columns={c: c + right_suffix for c in keep_right if c != on}
+        )
+        return pd.merge_asof(lg, rsel, on=on, direction="backward")
+
+    return lt.union(rt).groupby(by).map_groups(join_group, batch_format="pandas")
+
+
 def keep_first_by(
     ds: "ray.data.Dataset", *, group_col: str, order_col: str,
     broadcast_max: int = EXACT_DEDUP_BROADCAST_MAX,
