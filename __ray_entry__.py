@@ -735,6 +735,48 @@ def _events_clicks_asof(sf_dir: str) -> pd.DataFrame:
     ).reset_index(drop=True)
 
 
+_PRICE_BANDS = [(0, 0.0, 100_000.0), (1, 100_000.0, 250_000.0),
+                (2, 250_000.0, 400_000.0), (3, 400_000.0, 1_000_000.0)]
+
+
+def _orders_price_band(sf_dir: str) -> pd.DataFrame:
+    """Range (non-equi) join: orders banded by [lo, hi) price intervals
+    via pipeline.partition.broadcast_range_join (intervals broadcast,
+    vectorized searchsorted — the big side never shuffles), then a
+    grouped rollup with scaled-int money sums."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    import pyarrow.compute as pc
+
+    from pipeline.partition import broadcast_range_join
+
+    bands = pd.DataFrame(_PRICE_BANDS, columns=["band_id", "lo", "hi"])
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    )
+    joined = broadcast_range_join(orders, bands, "o_totalprice")
+
+    def scale(t: pa.Table) -> pa.Table:
+        c = pc.cast(
+            pc.floor(pc.add(pc.multiply(t["o_totalprice"], pa.scalar(100.0)),
+                            pa.scalar(0.5))),
+            pa.int64(),
+        )
+        return pa.table({"band_id": t["band_id"], "price_c": c})
+
+    out = (
+        joined.map_batches(scale, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("band_id")
+        .aggregate(Count(alias_name="n_orders"), Sum("price_c", alias_name="price_c"))
+    )
+    df = out.to_pandas()
+    df["total_price"] = df.pop("price_c").astype("int64") / 100.0
+    return df[["band_id", "n_orders", "total_price"]].sort_values(
+        "band_id"
+    ).reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "doc_length_stats": _doc_length_stats,
@@ -769,6 +811,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_distinct_users": _events_distinct_users,
         "supplier_revenue": _supplier_revenue,
         "events_clicks_asof": _events_clicks_asof,
+        "orders_price_band": _orders_price_band,
     }
 
 
@@ -958,6 +1001,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type,
                    CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
             FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "orders_price_band": """
+            WITH bands(band_id, lo, hi) AS (VALUES
+                (0, 0.0, 100000.0), (1, 100000.0, 250000.0),
+                (2, 250000.0, 400000.0), (3, 400000.0, 1000000.0))
+            SELECT CAST(b.band_id AS BIGINT) AS band_id,
+                   count(*) AS n_orders,
+                   sum(CAST(floor(o.o_totalprice * 100.0 + 0.5) AS BIGINT)) / 100.0 AS total_price
+            FROM orders o
+            JOIN bands b ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+            GROUP BY b.band_id ORDER BY band_id
         """,
         "events_clicks_asof": """
             SELECT c.event_id, round(p.value, 3) AS purchase_value

@@ -353,6 +353,44 @@ def asof_join(
     return lt.union(rt).groupby(by).map_groups(join_group, batch_format="pandas")
 
 
+def broadcast_range_join(
+    ds: "ray.data.Dataset", intervals: pd.DataFrame, value_col: str, *,
+    lo_col: str = "lo", hi_col: str = "hi",
+) -> "ray.data.Dataset":
+    """Non-equi (range) join: each row is matched to the interval
+    [lo, hi) containing row[value_col]; interval attributes are appended.
+    The interval table is broadcast once (ray.put) and the match is a
+    vectorized searchsorted — no shuffle, the big side streams.
+
+    Requires non-overlapping intervals sorted by lo (validated here);
+    rows outside every interval are dropped (inner-join semantics)."""
+    import ray as _ray
+
+    iv = intervals.sort_values(lo_col).reset_index(drop=True)
+    if not (iv[hi_col].values[:-1] <= iv[lo_col].values[1:]).all() or \
+       not (iv[lo_col].values < iv[hi_col].values).all():
+        raise ValueError("intervals must be non-overlapping, lo < hi")
+    ref = _ray.put(iv)
+
+    def match(batch: pa.Table) -> pa.Table:
+        table = _ray.get(ref)
+        lo = table[lo_col].to_numpy()
+        hi = table[hi_col].to_numpy()
+        v = batch[value_col].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(lo, v, side="right") - 1
+        idx_c = np.clip(idx, 0, len(lo) - 1)
+        ok = (idx >= 0) & (v < hi[idx_c])
+        batch = batch.filter(pa.array(ok))
+        sel = idx_c[ok]
+        for c in table.columns:
+            if c in (lo_col, hi_col) or c in batch.column_names:
+                continue
+            batch = batch.append_column(c, pa.array(table[c].values[sel]))
+        return batch
+
+    return ds.map_batches(match, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def keep_first_by(
     ds: "ray.data.Dataset", *, group_col: str, order_col: str,
     broadcast_max: int = EXACT_DEDUP_BROADCAST_MAX,
