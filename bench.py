@@ -37,6 +37,9 @@ QUERY_NAMES = [
     "events_user_sessions", "ann_topk", "minhash_dup_pairs",
     "simhash_dup_pairs", "scrub_documents", "langid_documents",
     "lineitem_pricing", "embedding_pairs_exact", "doc_fingerprints",
+    "orders_topn_per_cust", "events_sliding_mean", "customers_no_orders",
+    "events_distinct_users", "supplier_revenue", "events_clicks_asof",
+    "orders_price_band",
 ]
 
 

@@ -255,12 +255,11 @@ def flagship_pipeline(
     except Exception:
         n_cpus = 4
     if langid_concurrency is None:
-        # fused pool: ~3/8 of the cluster (measured best at 32 CPUs with
-        # the trigger-grouped scrub — the task stages need the majority
-        # of CPUs now that the scorer is the heavier per-row stage)
-        langid_concurrency = (
-            max(1, (3 * n_cpus) // 8) if fuse_scorers else _default_pool_size()
-        )
+        # fused pool: half the cluster. A 3n/8 variant looked better at
+        # 32 CPUs but was within run noise there and measurably WORSE at
+        # 8 CPUs (34k -> 22k files/s) — the scorer pool is the heavier
+        # per-row stage and needs the half share on small clusters.
+        langid_concurrency = _default_pool_size() * (2 if fuse_scorers else 1)
         # never reserve every CPU: task stages (read/scrub/decide/write)
         # starve and the streaming executor deadlocks on tiny clusters
         langid_concurrency = max(1, min(langid_concurrency, n_cpus - 1))
