@@ -19,7 +19,10 @@ import time
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, _REPO)
-os.environ["PYTHONPATH"] = _REPO  # spawn children must import `pipeline`
+# spawn children must import `pipeline`; PREPEND to keep existing entries
+os.environ["PYTHONPATH"] = os.pathsep.join(
+    [_REPO] + ([os.environ["PYTHONPATH"]] if os.environ.get("PYTHONPATH") else [])
+)
 
 
 def _work(args) -> int:

@@ -51,3 +51,39 @@ def clean_batch(t):
     logs 'Failed to hash the schemas (for deduplication)' on every block
     concat and loses its schema-dedup fast path."""
     return t.replace_schema_metadata(None) if t.schema.metadata else t
+
+
+def string_buffers(arr):
+    """(absolute int64 offsets, uint8 data) of a (Large)StringArray —
+    the single implementation of Arrow string-buffer access (offset-
+    sliced arrays, large_string offsets, missing data buffer)."""
+    import numpy as np
+    import pyarrow as pa
+
+    odt = np.int64 if pa.types.is_large_string(arr.type) else np.int32
+    bufs = arr.buffers()
+    off = np.frombuffer(bufs[1], dtype=odt)[
+        arr.offset: arr.offset + len(arr) + 1
+    ].astype(np.int64)
+    data = (
+        np.frombuffer(bufs[2], dtype=np.uint8)
+        if bufs[2] is not None else np.empty(0, dtype=np.uint8)
+    )
+    return off, data
+
+
+def clip_segments(data, off, clip: int):
+    """Gather per-segment prefixes of at most `clip` bytes into a fresh
+    concatenated stream. Returns (clipped data, clipped offsets)."""
+    import numpy as np
+
+    lens = np.diff(off)
+    lens_c = np.minimum(lens, clip)
+    out_off = np.zeros(len(off), dtype=np.int64)
+    np.cumsum(lens_c, out=out_off[1:])
+    total = int(out_off[-1])
+    if total == 0:
+        return np.empty(0, dtype=np.uint8), out_off
+    pos = np.arange(total, dtype=np.int64) - np.repeat(out_off[:-1], lens_c)
+    idx = np.repeat(off[:-1], lens_c) + pos
+    return data[idx], out_off

@@ -10,9 +10,10 @@ then is the manifest written. A manifest therefore implies durable data;
 resume = skip every partition with a manifest. A killed job restarts from
 the last committed partition (north rule).
 
-Manifest records the lineage: input files, row count, kept rows, bytes,
-a ledger hash (sha256 over the sorted per-row content_sha256 values — an
-order-insensitive content fingerprint), stage timings and engine version.
+Manifest records the lineage: input files, row count, kept rows, a
+ledger (mod-2^64 sum of per-row sha256-prefix ints — an order-insensitive
+content fingerprint computed distributed, see partition_ledger), stage
+timings and engine version.
 
 Partitions are processed sequentially, each as its own streaming Dataset
 over the full cluster: granularity = resumability unit, chosen as a file
@@ -97,6 +98,14 @@ def run_partitioned(
             # A manifest only authorizes a skip if it describes THIS
             # invocation — otherwise stale committed output would silently
             # mix with new output (e.g. changed file list or profile).
+            if "ledger64" not in m:
+                raise RuntimeError(
+                    f"partition {pid}: manifest was written by an older "
+                    f"engine version (no 'ledger64'; engine_version="
+                    f"{m.get('engine_version')!r}) — its ledger format is "
+                    f"incompatible with global_ledger(); use a fresh "
+                    f"out_dir or delete the old partitions + manifests"
+                )
             mismatch = [
                 k for k, want in (
                     ("input_files", files), ("profile", profile),

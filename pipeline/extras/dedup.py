@@ -120,33 +120,37 @@ def minhash_signature(text: str) -> np.ndarray:
 _SIG_CHUNK_SHINGLES = 32_768
 
 
+def _doc_chunks(arrays: list[np.ndarray], budget: int):
+    """Yield (nonempty arrays, their doc indices) greedily packed so each
+    chunk's total element count stays <= budget (a single oversized doc
+    still gets its own chunk — the `total == 0 or` guard)."""
+    n = len(arrays)
+    start = 0
+    while start < n:
+        end = start
+        total = 0
+        while end < n and (total == 0 or total + arrays[end].size <= budget):
+            total += arrays[end].size
+            end += 1
+        chunk = [a for a in arrays[start:end] if a.size]
+        if chunk:
+            yield chunk, [i for i in range(start, end) if arrays[i].size]
+        start = end
+
+
 def batch_minhash_signatures(texts: list[str]) -> np.ndarray:
     """(n_docs, N_PERM) signatures with the permutation step vectorized
     ACROSS documents: shingles are concatenated and reduced per doc with
     np.minimum.reduceat, instead of one N_PERM x n_shingles matmul per doc.
     Empty docs get the all-zero signature (matches minhash_signature)."""
-    n = len(texts)
-    sigs = np.zeros((n, N_PERM), dtype=np.int64)
-    if n == 0:
-        return sigs
+    sigs = np.zeros((len(texts), N_PERM), dtype=np.int64)
     shingle_lists = [_shingles(t) for t in texts]
-    # chunk docs so the concatenated shingle count stays bounded
-    start = 0
-    while start < n:
-        end = start
-        total = 0
-        while end < n and (total == 0 or total + shingle_lists[end].size <= _SIG_CHUNK_SHINGLES):
-            total += shingle_lists[end].size
-            end += 1
-        chunk = [s for s in shingle_lists[start:end] if s.size]
-        if chunk:
-            cat = np.concatenate(chunk)
-            vals = (cat[None, :] * _A[:, None] + _B[:, None]) % _MERSENNE
-            offsets = np.cumsum([0] + [s.size for s in chunk])[:-1]
-            mins = np.minimum.reduceat(vals, offsets, axis=1)  # N_PERM x docs
-            dst = [i for i in range(start, end) if shingle_lists[i].size]
-            sigs[dst, :] = mins.T
-        start = end
+    for chunk, dst in _doc_chunks(shingle_lists, _SIG_CHUNK_SHINGLES):
+        cat = np.concatenate(chunk)
+        vals = (cat[None, :] * _A[:, None] + _B[:, None]) % _MERSENNE
+        offsets = np.cumsum([0] + [s.size for s in chunk])[:-1]
+        mins = np.minimum.reduceat(vals, offsets, axis=1)  # N_PERM x docs
+        sigs[dst, :] = mins.T
     return sigs
 
 
@@ -416,32 +420,19 @@ def simhash64(text: str) -> int:
 
 def batch_simhash64(texts: list[str]) -> np.ndarray:
     """(n_docs,) int64 simhashes, bit votes reduced across ALL docs' words
-    with np.add.reduceat (no per-doc matrix build)."""
-    n = len(texts)
-    out = np.zeros(n, dtype=np.int64)
-    if n == 0:
-        return out
+    with np.add.reduceat (no per-doc matrix build; chunked so the bits
+    matrix stays bounded at ~32k words x 63 int32)."""
+    out = np.zeros(len(texts), dtype=np.int64)
     hash_lists = [_word_hashes(t) for t in texts]
-    # chunk docs so the bits matrix stays bounded (~32k words x 63 int8)
-    start = 0
-    while start < n:
-        end = start
-        total = 0
-        while end < n and (total == 0 or total + hash_lists[end].size <= _SIG_CHUNK_SHINGLES):
-            total += hash_lists[end].size
-            end += 1
-        chunk = [h for h in hash_lists[start:end] if h.size]
-        if chunk:
-            cat = np.concatenate(chunk).astype(np.uint64)
-            bits = ((cat[:, None] >> _SIM_SHIFTS[None, :]) & np.uint64(1)).astype(np.int32)
-            offsets = np.cumsum([0] + [h.size for h in chunk])[:-1]
-            ones = np.add.reduceat(bits, offsets, axis=0)  # docs x 63
-            lens = np.array([h.size for h in chunk])[:, None]
-            votes = ones * 2 - lens
-            sig = ((votes > 0).astype(np.uint64) * _SIM_POWS[None, :]).sum(axis=1)
-            dst = [i for i in range(start, end) if hash_lists[i].size]
-            out[dst] = sig.astype(np.int64)
-        start = end
+    for chunk, dst in _doc_chunks(hash_lists, _SIG_CHUNK_SHINGLES):
+        cat = np.concatenate(chunk).astype(np.uint64)
+        bits = ((cat[:, None] >> _SIM_SHIFTS[None, :]) & np.uint64(1)).astype(np.int32)
+        offsets = np.cumsum([0] + [h.size for h in chunk])[:-1]
+        ones = np.add.reduceat(bits, offsets, axis=0)  # docs x 63
+        lens = np.array([h.size for h in chunk])[:, None]
+        votes = ones * 2 - lens
+        sig = ((votes > 0).astype(np.uint64) * _SIM_POWS[None, :]).sum(axis=1)
+        out[dst] = sig.astype(np.int64)
     return out
 
 

@@ -342,8 +342,17 @@ def asof_join(
     keep_right = [on] + [c for c in right_cols if c != on]
     # the union null-pads each side's missing columns, which upcasts
     # integer columns to float in the pandas group frames — restore the
-    # left side's integer dtypes (left rows have no nulls in own columns)
+    # left side's integer dtypes (left rows have no nulls in own columns;
+    # caveat: the float round-trip caps exact integers at 2^53)
     l_int_cols = [c for c, t in l_types.items() if pa.types.is_integer(t)]
+    # suffixed right columns can be null (unmatched left rows), so pin
+    # integer right_cols to pandas nullable Int64 in EVERY group — without
+    # this, all-matched groups emit int64 and partially-matched groups
+    # float64, and the map_groups blocks disagree on schema
+    r_out_dtypes = {
+        c + right_suffix: ("Int64" if pa.types.is_integer(r_types[c]) else "float64")
+        for c in keep_right if c != on
+    }
 
     def join_group(g: pd.DataFrame) -> pd.DataFrame:
         lg = g[g["_side"] == 0].drop(columns=["_side"]).sort_values(on, kind="mergesort")
@@ -353,12 +362,15 @@ def asof_join(
             lg[c] = lg[c].astype("int64")
         if lg.empty:
             return lg.assign(**{
-                c + right_suffix: pd.Series(dtype="float64") for c in keep_right if c != on
+                c: pd.Series(dtype=dt) for c, dt in r_out_dtypes.items()
             })
         rsel = rg[keep_right].rename(
             columns={c: c + right_suffix for c in keep_right if c != on}
         )
-        return pd.merge_asof(lg, rsel, on=on, direction="backward")
+        out = pd.merge_asof(lg, rsel, on=on, direction="backward")
+        for c, dt in r_out_dtypes.items():
+            out[c] = out[c].astype(dt)
+        return out
 
     return lt.union(rt).groupby(by).map_groups(join_group, batch_format="pandas")
 

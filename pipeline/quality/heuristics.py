@@ -16,15 +16,19 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from pipeline._util import string_buffers as _string_buffers
+
 _ALNUM_LUT = np.zeros(256, dtype=np.uint8)
 for _c in b"ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789":
     _ALNUM_LUT[_c] = 1
 
 # position weights for the vectorized line hash (fixed seed: deterministic
-# across processes); lines longer than the table wrap — weights still
-# differ position-to-position within any realistic line
+# across processes). Weights repeat past the table, so two lines longer
+# than it whose byte differences cancel under the repeated weights (e.g.
+# bytes swapped exactly table-length apart) would collide — table sized
+# to 64 KiB so only pathological >64 KiB single lines are exposed
 _HASH_W = np.random.RandomState(7).randint(
-    1, (1 << 62), size=4096, dtype=np.int64
+    1, (1 << 62), size=65536, dtype=np.int64
 ) | np.int64(1)
 
 
@@ -40,20 +44,6 @@ def heuristic_scores(text: str) -> dict:
         "alnum_ratio": float(alnum / n) if n else 0.0,
         "repetition_score": float(1.0 - uniq / len(lines)),
     }
-
-
-def _string_buffers(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
-    """(absolute int64 offsets, uint8 data) of a (Large)StringArray."""
-    odt = np.int64 if pa.types.is_large_string(arr.type) else np.int32
-    bufs = arr.buffers()
-    off = np.frombuffer(bufs[1], dtype=odt)[
-        arr.offset: arr.offset + len(arr) + 1
-    ].astype(np.int64)
-    data = (
-        np.frombuffer(bufs[2], dtype=np.uint8)
-        if bufs[2] is not None else np.empty(0, dtype=np.uint8)
-    )
-    return off, data
 
 
 def _alnum_counts(arr: pa.Array) -> np.ndarray:

@@ -28,7 +28,9 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from pipeline._util import clip_segments as _clip_segments
 from pipeline._util import rng_for
+from pipeline._util import string_buffers as _string_buffers
 from pipeline.synth.codelang import LANGS, TEXT_LANGS, make_snippet
 
 D = 1 << 16
@@ -81,34 +83,6 @@ def trigram_counts(text: str) -> np.ndarray:
 def _normalize(v: np.ndarray) -> np.ndarray:
     n = float(np.linalg.norm(v))
     return v / n if n > 0 else v
-
-
-def _clip_segments(
-    data: np.ndarray, off: np.ndarray, clip: int,
-) -> tuple[np.ndarray, np.ndarray]:
-    lens = np.diff(off)
-    lens_c = np.minimum(lens, clip)
-    out_off = np.zeros(len(off), dtype=np.int64)
-    np.cumsum(lens_c, out=out_off[1:])
-    total = int(out_off[-1])
-    if total == 0:
-        return np.empty(0, dtype=np.uint8), out_off
-    pos = np.arange(total, dtype=np.int64) - np.repeat(out_off[:-1], lens_c)
-    idx = np.repeat(off[:-1], lens_c) + pos
-    return data[idx], out_off
-
-
-def _string_buffers(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
-    odt = np.int64 if pa.types.is_large_string(arr.type) else np.int32
-    bufs = arr.buffers()
-    off = np.frombuffer(bufs[1], dtype=odt)[
-        arr.offset: arr.offset + len(arr) + 1
-    ].astype(np.int64)
-    data = (
-        np.frombuffer(bufs[2], dtype=np.uint8)
-        if bufs[2] is not None else np.empty(0, dtype=np.uint8)
-    )
-    return off, data
 
 
 class LangIdModel:
@@ -178,9 +152,14 @@ class LangIdModel:
         contrib = self.profiles_t[h]  # n_windows x L gather (row-major)
         # sentinel zero row so an empty row's index (== len(h)) is valid
         # WITHOUT clamping — a clamp would shift the previous row's
-        # segment boundary and corrupt its sum (found by hypothesis)
+        # segment boundary and corrupt its sum (found by hypothesis).
+        # A closing index bounds the LAST real segment so it never
+        # includes the sentinel: reduceat sums pairwise, and merely
+        # changing a segment's element count changes the summation tree
+        # and the last ulp — which broke solo-vs-batch bit equality.
         contrib = np.vstack([contrib, np.zeros((1, L), dtype=contrib.dtype)])
-        num = np.add.reduceat(contrib, wstart, axis=0)  # n x L
+        ind = np.concatenate([wstart, [len(h)]])
+        num = np.add.reduceat(contrib, ind, axis=0)[:-1]  # n x L
         # norm: ||cnt||^2 per doc needs per-bucket counts — one sort of a
         # combined (row*D + bucket) key, then run-length encode
         if n < (1 << 15):  # row*D + bucket fits uint32 -> faster sort
@@ -197,8 +176,9 @@ class LangIdModel:
         run_rows = (ks[run_starts] // D).astype(np.int64)
         row_run_off = np.searchsorted(run_rows, np.arange(n))
         norm_sq = np.add.reduceat(
-            np.concatenate([cnt * cnt, [0.0]]), row_run_off  # sentinel, no clamp
-        )
+            np.concatenate([cnt * cnt, [0.0]]),          # sentinel, no clamp
+            np.concatenate([row_run_off, [len(cnt)]]),    # closing index
+        )[:-1]
         norms = np.sqrt(norm_sq)
         has = valid_counts > 0
         scores[has] = (num[has] / norms[has, None]).astype(np.float32)

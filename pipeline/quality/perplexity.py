@@ -28,7 +28,9 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from pipeline._util import clip_segments as _clip_segments
 from pipeline._util import rng_for
+from pipeline._util import string_buffers as _string_buffers
 from pipeline.synth.codelang import LANGS, TEXT_LANGS, make_snippet
 
 V = 64
@@ -56,36 +58,6 @@ def _codes(text: str) -> np.ndarray:
     if c.size < 3:
         return np.empty(0, dtype=np.int64)
     return c[:-2] * V * V + c[1:-1] * V + c[2:]
-
-
-def _clip_segments(
-    data: np.ndarray, off: np.ndarray, clip: int,
-) -> tuple[np.ndarray, np.ndarray]:
-    """Gather per-segment prefixes of at most `clip` bytes into a fresh
-    concatenated stream. Returns (clipped data, clipped offsets)."""
-    lens = np.diff(off)
-    lens_c = np.minimum(lens, clip)
-    out_off = np.zeros(len(off), dtype=np.int64)
-    np.cumsum(lens_c, out=out_off[1:])
-    total = int(out_off[-1])
-    if total == 0:
-        return np.empty(0, dtype=np.uint8), out_off
-    pos = np.arange(total, dtype=np.int64) - np.repeat(out_off[:-1], lens_c)
-    idx = np.repeat(off[:-1], lens_c) + pos
-    return data[idx], out_off
-
-
-def _string_buffers(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
-    odt = np.int64 if pa.types.is_large_string(arr.type) else np.int32
-    bufs = arr.buffers()
-    off = np.frombuffer(bufs[1], dtype=odt)[
-        arr.offset: arr.offset + len(arr) + 1
-    ].astype(np.int64)
-    data = (
-        np.frombuffer(bufs[2], dtype=np.uint8)
-        if bufs[2] is not None else np.empty(0, dtype=np.uint8)
-    )
-    return off, data
 
 
 class PerplexityModel:

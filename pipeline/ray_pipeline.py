@@ -170,11 +170,10 @@ def scrub_stage(batch: pa.Table, *, column: str = "content", profile: str = "cod
                 repl_txt.append(scrubbed)
 
     # untouched rows: sha over the utf-8 buffer slice (no str round-trip)
-    odt = np.int64 if pa.types.is_large_string(col.type) else np.int32
-    bufs = col.buffers()
-    off = np.frombuffer(bufs[1], dtype=odt)[col.offset: col.offset + n + 1]
-    data = bufs[2]
-    mv = memoryview(data)[:0] if data is None else memoryview(data)
+    from pipeline._util import string_buffers
+
+    off, data = string_buffers(col)
+    mv = memoryview(data)
     for i in range(n):
         if hashes[i] is None:
             hashes[i] = hashlib.sha256(mv[off[i]: off[i + 1]]).hexdigest()

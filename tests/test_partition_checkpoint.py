@@ -212,3 +212,28 @@ def test_drop_raw_content_projection(code_fixture):
     fa = fa.sort_values(key).reset_index(drop=True)
     fb = fb.sort_values(key).reset_index(drop=True)
     assert fa.equals(fb)
+
+
+def test_asof_join_int_right_cols_schema_stable():
+    """Integer right_cols must come back as nullable Int64 in EVERY group
+    — groups where all left rows match must not emit a different dtype
+    than groups with unmatched rows (review finding)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from pipeline.partition import asof_join
+
+    left = pd.DataFrame({
+        "k": [1, 1, 2, 2], "t": [10, 20, 10, 20], "lid": [0, 1, 2, 3]})
+    right = pd.DataFrame({
+        # group 1: matches for both lefts; group 2: t=10 precedes all rights
+        "k": [1, 1, 2], "t": [5, 15, 15], "qty": [100, 200, 300]})
+    out = asof_join(
+        rd.from_pandas(left), rd.from_pandas(right),
+        on="t", by="k", right_cols=["qty"],
+    ).to_pandas().sort_values("lid").reset_index(drop=True)
+    assert out["qty_r"].tolist()[0] == 100
+    assert out["qty_r"].tolist()[1] == 200
+    assert pd.isna(out["qty_r"].tolist()[2])  # unmatched
+    assert out["qty_r"].tolist()[3] == 300
+    assert out["lid"].dtype == "int64"

@@ -120,3 +120,26 @@ def test_heuristic_batch_matches_scalar(texts):
         exp = heuristic_scores(t)
         for k, v in exp.items():
             assert abs(float(got[k][i]) - float(v)) < 1e-12, (k, repr(t))
+
+
+def test_scorer_invariance_long_docs():
+    """Deterministic long-doc regression for the reduceat pairwise-tree
+    bug the review found: for ~1KB+ docs, the sentinel row joining the
+    LAST segment changed the pairwise summation tree and broke solo-vs-
+    batch bit equality (4/307 docs, 1-ulp lang_conf diffs)."""
+    from pipeline.quality.langid import LangIdModel
+    from pipeline.quality.perplexity import PerplexityModel
+    from pipeline.synth.codelang import LANGS, make_snippet
+    from pipeline._util import rng_for
+
+    lm, pm = LangIdModel.default(), PerplexityModel.default()
+    texts = [
+        make_snippet(LANGS[i % len(LANGS)], rng_for("long", i), n_lines=60)
+        for i in range(307)
+    ]
+    langs, confs = lm.predict_batch(texts)
+    ppls = pm.score_batch(texts)
+    for i, t in enumerate(texts):
+        l1, c1 = lm.predict_one(t)
+        assert l1 == langs[i] and c1 == confs[i], i
+        assert pm.score_one(t) == ppls[i], i
