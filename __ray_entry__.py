@@ -380,10 +380,21 @@ def _ann_topk_ivf(sf_dir: str) -> pd.DataFrame:
     return df.sort_values(["query_id", "rank"]).reset_index(drop=True)
 
 
+def _n_docs(sf_dir: str) -> int:
+    """Exact doc count from parquet metadata (no Ray execution) — feeds
+    the dedup size switches so they pick a regime without an extra
+    materialize+count round."""
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+
+
 def _minhash_pairs(sf_dir: str) -> pd.DataFrame:
     from pipeline.extras.dedup import minhash_lsh_pairs
 
-    df = minhash_lsh_pairs(_docs(sf_dir), threshold=0.5).to_pandas()
+    df = minhash_lsh_pairs(
+        _docs(sf_dir), threshold=0.5, n_docs_hint=_n_docs(sf_dir)
+    ).to_pandas()
     if len(df):
         df["jaccard"] = df["jaccard"].round(4)
         df = df.sort_values(["a", "b"]).reset_index(drop=True)
@@ -393,7 +404,9 @@ def _minhash_pairs(sf_dir: str) -> pd.DataFrame:
 def _simhash_pairs(sf_dir: str) -> pd.DataFrame:
     from pipeline.extras.dedup import simhash_pairs
 
-    df = simhash_pairs(_docs(sf_dir), max_hamming=6).to_pandas()
+    df = simhash_pairs(
+        _docs(sf_dir), max_hamming=6, n_docs_hint=_n_docs(sf_dir)
+    ).to_pandas()
     if len(df):
         df = df.sort_values(["a", "b"]).reset_index(drop=True)
     return df

@@ -11,9 +11,12 @@ resume = skip every partition with a manifest. A killed job restarts from
 the last committed partition (north rule).
 
 Manifest records the lineage: input files, row count, kept rows, a
-ledger (mod-2^64 sum of per-row sha256-prefix ints — an order-insensitive
-content fingerprint computed distributed, see partition_ledger), stage
-timings and engine version.
+ledger (a 256-bit lattice hash: per-lane mod-2^64 sums of the FULL
+per-row sha256 digests — order-insensitive, computed distributed, see
+partition_ledger), stage timings and engine version. Unlike the earlier
+64-bit prefix-sum ledger, substituting a row set while preserving the
+fingerprint requires solving a 256-bit subset-sum over sha256 outputs;
+duplicate rows do not cancel (a plain XOR combine would erase pairs).
 
 Partitions are processed sequentially, each as its own streaming Dataset
 over the full cluster: granularity = resumability unit, chosen as a file
@@ -35,25 +38,34 @@ from pipeline.ray_pipeline import flagship_pipeline
 
 
 def partition_ledger(ds: "ray.data.Dataset") -> tuple[int, str]:
-    """(n_rows, ledger hex): order-insensitive 64-bit sum of per-row
-    sha256-prefix ints, reduced to one tiny row per batch inside
-    map_batches — the driver never materializes row data (the old form
-    take_all'd every content_sha256 string; ~100 MB per GB partition)."""
+    """(n_rows, ledger hex): order-insensitive 256-bit lattice hash —
+    each row's FULL sha256 digest split into 4 uint64 lanes, summed
+    mod 2^64 per lane (order-free, duplicate-sensitive). Reduced to one
+    tiny row per batch inside map_batches — the driver never
+    materializes row data."""
     import numpy as np
     import pyarrow as pa
 
     def digest(t):
         sh = t["content_sha256"].to_pylist()
-        d = np.fromiter((int(s[:15], 16) for s in sh), dtype=np.int64, count=len(sh))
-        return pa.table({"n": pa.array([len(sh)], pa.int64()),
-                         "d": pa.array([int(d.sum())], pa.int64())})
+        if sh:
+            lanes = np.frombuffer(
+                b"".join(bytes.fromhex(s) for s in sh), dtype=np.uint64
+            ).reshape(len(sh), 4).sum(axis=0, dtype=np.uint64)
+        else:
+            lanes = np.zeros(4, dtype=np.uint64)
+        return pa.table({
+            "n": pa.array([len(sh)], pa.int64()),
+            **{f"l{i}": pa.array([int(lanes[i])], pa.uint64()) for i in range(4)},
+        })
 
     rows = ds.select_columns(["content_sha256"]).map_batches(
         digest, batch_format="pyarrow", batch_size=8192, zero_copy_batch=True,
-    ).take_all()  # one 16-byte row per batch
+    ).take_all()  # one ~40-byte row per batch
     n = sum(r["n"] for r in rows)
-    total = sum(r["d"] for r in rows) & ((1 << 64) - 1)  # mod-2^64: order-free
-    return n, f"{total:016x}"
+    mask = (1 << 64) - 1
+    lanes = [sum(r[f"l{i}"] for r in rows) & mask for i in range(4)]
+    return n, "".join(f"{v:016x}" for v in lanes)
 
 
 def plan_partitions(input_files: list[str], files_per_partition: int = 1) -> list[list[str]]:
@@ -98,10 +110,10 @@ def run_partitioned(
             # A manifest only authorizes a skip if it describes THIS
             # invocation — otherwise stale committed output would silently
             # mix with new output (e.g. changed file list or profile).
-            if "ledger64" not in m:
+            if "ledger256" not in m:
                 raise RuntimeError(
                     f"partition {pid}: manifest was written by an older "
-                    f"engine version (no 'ledger64'; engine_version="
+                    f"engine version (no 'ledger256'; engine_version="
                     f"{m.get('engine_version')!r}) — its ledger format is "
                     f"incompatible with global_ledger(); use a fresh "
                     f"out_dir or delete the old partitions + manifests"
@@ -157,7 +169,7 @@ def run_partitioned(
             "partition_id": pid,
             "input_files": files,
             "n_rows": n_rows,
-            "ledger64": ledger,
+            "ledger256": ledger,
             "wall_sec": round(time.monotonic() - t0, 3),
             "engine_version": pipeline.__version__,
             "profile": profile,
@@ -180,5 +192,5 @@ def global_ledger(out_dir: str | Path) -> str:
     manifests = committed_partitions(out_dir)
     h = hashlib.sha256()
     for pid in sorted(manifests):
-        h.update(manifests[pid]["ledger64"].encode())
+        h.update(manifests[pid]["ledger256"].encode())
     return h.hexdigest()

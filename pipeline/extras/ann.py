@@ -12,12 +12,22 @@
 
 from __future__ import annotations
 
+import logging
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
 
 import ray
 import ray.data
+
+logger = logging.getLogger(__name__)
+
+# Cap for a degenerate centroid bucket (e.g. a corpus of near-identical
+# embeddings — exactly the near-dup use case). The within-bucket scan is a
+# vectorized B x B matmul, so the cap bounds memory/compute at ~128 MB per
+# group task; truncation is by ascending id (deterministic) and LOGGED.
+MAX_EMB_BUCKET = 4096
 
 
 def _to_matrix(col) -> np.ndarray:
@@ -95,6 +105,42 @@ def brute_force_topk(
 
 # ----------------------------------------------------------- IVF variant
 
+def hash_sample_frame(
+    ds: "ray.data.Dataset", *, id_col: str, cols: list[str], limit: int,
+    seed: int = 42,
+) -> pd.DataFrame:
+    """Deterministic size-`limit` uniform sample drawn across ALL blocks:
+    the rows with the `limit` smallest scrambled-id keys win. `ds.limit(n)`
+    takes the FIRST rows — at scale that is one shard of one file, and a
+    centroid fit on it silently degrades recall; scrambling the id column
+    (seeded) makes the winners a uniform pseudo-random subset regardless
+    of file layout, at one streaming pass emitting <= limit rows/batch."""
+    from pipeline.extras.dedup import _scramble64
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        key = _scramble64(ids + np.int64(seed))
+        if len(key) > limit:
+            sel = np.sort(np.argpartition(key, limit - 1)[:limit])
+            batch = batch.take(pa.array(sel))
+            key = key[sel]
+        batch = batch.select([id_col] + [c for c in cols if c != id_col])
+        return batch.append_column("_k", pa.array(key))
+
+    parts = ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=4096, zero_copy_batch=True,
+    ).to_pandas()
+    parts = parts.sort_values(["_k", id_col]).head(limit)
+    return parts.drop(columns=["_k"]).reset_index(drop=True)
+
+
+def _sample_matrix(
+    ds: "ray.data.Dataset", vec_col: str, id_col: str, limit: int,
+) -> np.ndarray:
+    sample = hash_sample_frame(ds, id_col=id_col, cols=[vec_col], limit=limit)
+    return np.stack(sample[vec_col].to_numpy()).astype(np.float64)
+
+
 def kmeans_lite(sample: np.ndarray, n_clusters: int, n_iter: int = 8, seed: int = 42) -> np.ndarray:
     """Deterministic Lloyd iterations on normalized vectors."""
     rng = np.random.RandomState(seed)
@@ -120,8 +166,7 @@ def ivf_topk(
     """Approximate top-k: centroids from a driver-side sample (small),
     buckets pruned to the nprobe closest per query. Output schema matches
     brute_force_topk."""
-    sample_tbl = ds.limit(sample_limit).to_pandas()
-    sample = np.stack(sample_tbl[vec_col].to_numpy()).astype(np.float64)
+    sample = _sample_matrix(ds, vec_col, id_col, sample_limit)
     cent = kmeans_lite(sample, n_clusters)
     cent_ref = ray.put(cent)
     qn = _norm_rows(np.asarray(queries, dtype=np.float64))
@@ -204,9 +249,11 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id", vec_col: str = "embedding", n_clusters: int = 16,
 ) -> pd.DataFrame:
     """Embedding-cosine near-dup: bucket by nearest centroid, exact cosine
-    within buckets only (per-group O(|bucket|^2), never global O(n^2))."""
-    sample_tbl = ds.limit(4096).to_pandas()
-    sample = np.stack(sample_tbl[vec_col].to_numpy()).astype(np.float64)
+    within buckets only (per-group O(|bucket|^2), never global O(n^2)).
+    The within-bucket scan is ONE vectorized matmul + triu mask (no Python
+    pair loop); buckets over MAX_EMB_BUCKET members are truncated to the
+    MAX_EMB_BUCKET smallest ids with a WARN (mirrors dedup.MAX_BUCKET)."""
+    sample = _sample_matrix(ds, vec_col, id_col, 4096)
     cent = kmeans_lite(sample, n_clusters)
     cent_ref = ray.put(cent)
 
@@ -219,16 +266,21 @@ def embedding_near_dup_pairs(
     bucketed = ds.map_batches(assign, batch_format="pyarrow", batch_size=4096)
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = g[id_col].to_numpy()
+        if len(g) > MAX_EMB_BUCKET:
+            logger.warning(
+                "embedding bucket %s truncated: %d members > MAX_EMB_BUCKET=%d",
+                int(g["_bucket"].iloc[0]), len(g), MAX_EMB_BUCKET,
+            )
+            g = g.sort_values(id_col).head(MAX_EMB_BUCKET)
+        ids = g[id_col].to_numpy().astype(np.int64)
         m = _norm_rows(np.stack(g[vec_col].to_numpy()).astype(np.float64))
         s = m @ m.T
-        out = []
-        n = len(ids)
-        for i in range(n):
-            for j in range(i + 1, n):
-                if s[i, j] >= threshold:
-                    a, b = sorted((int(ids[i]), int(ids[j])))
-                    out.append({"a": a, "b": b, "cosine": float(s[i, j])})
-        return pd.DataFrame(out, columns=["a", "b", "cosine"])
+        iu, ju = np.nonzero(np.triu(s >= threshold, 1))
+        a = np.minimum(ids[iu], ids[ju])
+        b = np.maximum(ids[iu], ids[ju])
+        return pd.DataFrame(
+            {"a": a, "b": b, "cosine": s[iu, ju].astype(np.float64)},
+            columns=["a", "b", "cosine"],
+        )
 
     return bucketed.groupby("_bucket").map_groups(pairs, batch_format="pandas").to_pandas()

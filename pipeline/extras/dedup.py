@@ -218,21 +218,35 @@ def _sorted_membership(values: np.ndarray, sorted_keys: np.ndarray) -> np.ndarra
     return sorted_keys[idx] == values
 
 
-def _hot_keys_driver(bands: "ray.data.Dataset", keys: list[str]) -> np.ndarray:
-    """Bucket keys appearing >= 2 times — driver-side numpy reduce over
-    per-batch compact int64 blobs (8 B/row shipped; no shuffle). Only used
-    below DRIVER_REDUCE_MAX_ROWS."""
+def _members_driver(bands: "ray.data.Dataset", keys: list[str]) -> pd.DataFrame:
+    """Hot-bucket member rows (bucket key appears >= 2 times), computed in
+    ONE streaming pass: each batch ships its rows as compact int64-packed
+    column blobs (~8 B/row/col, never Python row objects), the driver
+    concatenates, counts bucket keys with np.unique and slices the hot
+    rows. No materialize, no groupby barrier, no second corpus pass —
+    the old shape (materialize + key-count pass + filter pass) cost ~3
+    fixed execution rounds per sketch query at bench scale. Only used
+    below DRIVER_REDUCE_MAX_ROWS band rows."""
+    cols = bands.schema().names
     blobs = bands.map_batches(
-        lambda t: pa.table({"blob": [_combine_keys(t, keys).tobytes()]}),
+        lambda t: pa.table({
+            c: [t[c].to_numpy(zero_copy_only=False).astype(np.int64).tobytes()]
+            for c in cols
+        }),
         batch_format="pyarrow", batch_size=8192, zero_copy_batch=True,
     ).take_all()
     if not blobs:
-        return np.empty(0, dtype=np.int64)
-    allkeys = np.concatenate(
-        [np.frombuffer(r["blob"], dtype=np.int64) for r in blobs]
-    )
-    uniq, counts = np.unique(allkeys, return_counts=True)
-    return uniq[counts > 1]  # np.unique output is sorted
+        return pd.DataFrame(columns=cols)
+    data = {
+        c: np.concatenate([np.frombuffer(r[c], dtype=np.int64) for r in blobs])
+        for c in cols
+    }
+    acc = np.zeros(len(data[cols[0]]), dtype=np.int64)
+    for k in keys:
+        acc = (acc * _MIX) + data[k]  # same combine as _combine_keys
+    _, inv, counts = np.unique(acc, return_inverse=True, return_counts=True)
+    hot = counts[inv] > 1
+    return pd.DataFrame({c: data[c][hot] for c in cols})
 
 
 def _hot_keys_distributed(bands: "ray.data.Dataset", keys: list[str]) -> np.ndarray:
@@ -260,27 +274,41 @@ def _hot_keys_distributed(bands: "ray.data.Dataset", keys: list[str]) -> np.ndar
 DRIVER_PAIRS_MAX = 200_000
 
 
-def _hot_bucket_members_ds(
-    bands: "ray.data.Dataset", keys: list[str], *, n_rows: int | None = None,
-) -> "ray.data.Dataset":
-    """Dataset of `bands` rows whose bucket key appears >= 2 times.
+def _hot_bucket_members(
+    bands: "ray.data.Dataset", keys: list[str], *, n_rows_hint: int | None = None,
+) -> tuple[pd.DataFrame | "ray.data.Dataset", int]:
+    """(members, n_members): the `bands` rows whose bucket key appears
+    >= 2 times. Size-switched:
 
-    Size-switched: below DRIVER_REDUCE_MAX_ROWS the count reduce runs on
-    the driver (a Ray groupby has a ~5 s fixed floor locally); above it,
-    a distributed groupby. Either way the hot-key set is then broadcast
-    and membership is a vectorized searchsorted filter. MAX_BUCKET caps
+    - driver regime (band rows <= DRIVER_REDUCE_MAX_ROWS): ONE streaming
+      pass via _members_driver, returns a pandas frame (a Ray groupby has
+      a ~5 s fixed floor locally; the old materialize+count+filter shape
+      cost 3 execution rounds).
+    - distributed regime: materialize (consumed twice), groupby(count)
+      for hot keys, broadcast + vectorized searchsorted membership filter;
+      returns a materialized Dataset. Nothing proportional to the corpus
+      lands on the driver.
+
+    `n_rows_hint` (exact band-row count, e.g. parquet-metadata doc count x
+    bands per doc) picks the regime without an extra count pass; without
+    it the bands are materialized and counted first. MAX_BUCKET caps
     degenerate buckets downstream."""
     import ray as _ray
 
-    bands = bands.materialize()  # consumed twice: count reduce + filter
-    if n_rows is None:
+    if n_rows_hint is None:
+        bands = bands.materialize()
         n_rows = bands.count()  # metadata on a materialized dataset
-    if n_rows > DRIVER_REDUCE_MAX_ROWS:
-        hot = _hot_keys_distributed(bands, keys)
     else:
-        hot = _hot_keys_driver(bands, keys)
+        n_rows = n_rows_hint
+    if n_rows <= DRIVER_REDUCE_MAX_ROWS:
+        df = _members_driver(bands, keys)
+        return df, len(df)
+
+    if n_rows_hint is not None:
+        bands = bands.materialize()  # consumed twice: count reduce + filter
+    hot = _hot_keys_distributed(bands, keys)
     if hot.size == 0:
-        return bands.limit(0)
+        return bands.limit(0), 0
     key_ref = _ray.put(hot)
 
     def filter_hot(batch: pa.Table) -> pa.Table:
@@ -288,9 +316,10 @@ def _hot_bucket_members_ds(
         combined = _combine_keys(batch, keys)
         return batch.filter(pa.array(_sorted_membership(combined, hk)))
 
-    return bands.map_batches(
+    out = bands.map_batches(
         filter_hot, batch_format="pyarrow", batch_size=8192
     ).materialize()
+    return out, out.count()
 
 
 def _texts_for(ds, ids: set, id_col: str, text_col: str) -> dict:
@@ -324,7 +353,7 @@ def _bucket_pair_frame(ids: list, key) -> list[tuple]:
 
 def minhash_lsh_pairs(
     ds: "ray.data.Dataset", *, id_col: str = "doc_id", text_col: str = "text",
-    threshold: float = 0.6,
+    threshold: float = 0.6, n_docs_hint: int | None = None,
 ) -> "ray.data.Dataset":
     """Candidate pairs via LSH banding, verified with exact n-gram Jaccard.
     Returns (a, b, jaccard) with a < b, deduplicated.
@@ -334,21 +363,30 @@ def minhash_lsh_pairs(
     per-bucket pair explosion via groupby().map_groups, cross-band dedup
     via a keys-only groupby, and Jaccard verification in map_batches with
     only the INVOLVED docs' texts broadcast (bounded by candidate count,
-    never by corpus size)."""
+    never by corpus size).
+
+    `n_docs_hint` (exact corpus row count, e.g. from parquet metadata)
+    lets the size switch pick its regime without materializing the band
+    rows first."""
     import ray.data as rd
 
     bands = ds.map_batches(
         lambda t: _band_rows(t, id_col, text_col),
         batch_format="pyarrow", batch_size=1024, zero_copy_batch=True,
     )
-    members_ds = _hot_bucket_members_ds(bands, ["band", "band_hash"])
-    n_members = members_ds.count()
+    members_any, n_members = _hot_bucket_members(
+        bands, ["band", "band_hash"],
+        n_rows_hint=None if n_docs_hint is None else n_docs_hint * N_BANDS,
+    )
     empty = pd.DataFrame(columns=["a", "b", "jaccard"])
     if n_members == 0:
         return rd.from_pandas(empty)
 
     if n_members <= DRIVER_PAIRS_MAX:
-        members = members_ds.to_pandas()
+        members = (
+            members_any if isinstance(members_any, pd.DataFrame)
+            else members_any.to_pandas()
+        )
         cand: set[tuple] = set()
         for key, g in members.groupby(["band", "band_hash"], sort=False):
             cand.update(_bucket_pair_frame(sorted(g["doc_id"].unique()), key))
@@ -365,6 +403,11 @@ def minhash_lsh_pairs(
 
     # ---- distributed path
     import ray as _ray
+
+    members_ds = (
+        rd.from_pandas(members_any) if isinstance(members_any, pd.DataFrame)
+        else members_any
+    )
 
     def gen_pairs(g: pd.DataFrame) -> pd.DataFrame:
         key = (int(g["band"].iloc[0]), int(g["band_hash"].iloc[0]))
@@ -442,7 +485,7 @@ def hamming64(a: int, b: int) -> int:
 
 def simhash_pairs(
     ds: "ray.data.Dataset", *, id_col: str = "doc_id", text_col: str = "text",
-    max_hamming: int = 3,
+    max_hamming: int = 3, n_docs_hint: int | None = None,
 ) -> "ray.data.Dataset":
     """Near-dup pairs with Hamming(simhash) <= max_hamming. 4x16-bit band
     bucketing guarantees recall for <=3 bit flips (pigeonhole)."""
@@ -466,8 +509,10 @@ def simhash_pairs(
 
     bands = ds.map_batches(sim_rows, batch_format="pyarrow", batch_size=1024,
                            zero_copy_batch=True)
-    members_ds = _hot_bucket_members_ds(bands, ["band", "key"])
-    n_members = members_ds.count()
+    members_any, n_members = _hot_bucket_members(
+        bands, ["band", "key"],
+        n_rows_hint=None if n_docs_hint is None else n_docs_hint * 4,
+    )
     empty = pd.DataFrame(columns=["a", "b", "hamming"])
     if n_members == 0:
         return rd.from_pandas(empty)
@@ -476,20 +521,29 @@ def simhash_pairs(
         key = (int(g["band"].iloc[0]), int(g["key"].iloc[0]))
         recs = g.drop_duplicates("doc_id").sort_values("doc_id")[["doc_id", "simhash"]].values
         if len(recs) > MAX_BUCKET:
+            # truncate MEMBERS to the MAX_BUCKET smallest ids — the same
+            # rule as minhash's _bucket_pair_frame, so the driver and
+            # distributed paths agree on which pairs a degenerate bucket
+            # yields (a sliding i+MAX_BUCKET window did O(B*cap) work and
+            # diverged between paths on >cap buckets)
             logger.warning(
-                "simhash bucket %s: %d members > MAX_BUCKET=%d, pair window capped",
+                "simhash bucket %s truncated: %d members > MAX_BUCKET=%d",
                 key, len(recs), MAX_BUCKET,
             )
+            recs = recs[:MAX_BUCKET]
         rows = []
         for i in range(len(recs)):
-            for j in range(i + 1, min(len(recs), i + MAX_BUCKET)):
+            for j in range(i + 1, len(recs)):
                 d = hamming64(int(recs[i][1]), int(recs[j][1]))
                 if d <= max_hamming:
                     rows.append((int(recs[i][0]), int(recs[j][0]), d))
         return pd.DataFrame(rows, columns=["a", "b", "hamming"]).astype("int64")
 
     if n_members <= DRIVER_PAIRS_MAX:
-        members = members_ds.to_pandas()
+        members = (
+            members_any if isinstance(members_any, pd.DataFrame)
+            else members_any.to_pandas()
+        )
         seen: dict[tuple, int] = {}
         for _, g in members.groupby(["band", "key"], sort=False):
             for _, r in bucket_pairs(g).iterrows():
@@ -502,6 +556,10 @@ def simhash_pairs(
     # so Min == the driver path's first-wins)
     from ray.data.aggregate import Min
 
+    members_ds = (
+        rd.from_pandas(members_any) if isinstance(members_any, pd.DataFrame)
+        else members_any
+    )
     pair_ds = members_ds.groupby(["band", "key"]).map_groups(
         bucket_pairs, batch_format="pandas"
     )

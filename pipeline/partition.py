@@ -242,7 +242,12 @@ def broadcast_join(
     import ray as _ray
 
     if concurrency is None:
-        n = int(_ray.cluster_resources().get("CPU", 8))
+        try:
+            n = int(_ray.cluster_resources().get("CPU", 8))
+        except Exception:
+            # not yet initialised (lazy pipelines auto-init at execution);
+            # same fallback flagship_pipeline uses for this call
+            n = 8
         concurrency = max(2, n // 4)
     if columns is not None:
         small = small[[on] + [c for c in columns if c != on]]
@@ -359,6 +364,15 @@ def asof_join(
         rg = g[g["_side"] == 1].sort_values(on, kind="mergesort")
         lg = lg[[c for c in l_cols]]
         for c in l_int_cols:
+            vals = lg[c].to_numpy()
+            if len(vals) and np.abs(vals).max() >= 2.0 ** 53:
+                raise ValueError(
+                    f"asof_join: left integer column {c!r} holds values >= "
+                    f"2^53, which the null-padded union's float64 round-trip "
+                    f"cannot represent exactly — restoring would silently "
+                    f"corrupt ids. Cast the column to string before the join "
+                    f"or drop it from the left side."
+                )
             lg[c] = lg[c].astype("int64")
         if lg.empty:
             return lg.assign(**{

@@ -23,13 +23,15 @@ for _c in b"ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789":
     _ALNUM_LUT[_c] = 1
 
 # position weights for the vectorized line hash (fixed seed: deterministic
-# across processes). Weights repeat past the table, so two lines longer
-# than it whose byte differences cancel under the repeated weights (e.g.
-# bytes swapped exactly table-length apart) would collide — table sized
-# to 64 KiB so only pathological >64 KiB single lines are exposed
+# across processes). The table repeats past 64 KiB, so the effective weight
+# adds a block-index term (+ blk * _BLOCK_MULT, odd): positions exactly
+# 64 KiB apart get DIFFERENT weights, killing the structured collision
+# class (bytes swapped table-length apart) the pure-periodic table had.
+# Hashes for lines < 64 KiB (blk == 0) are unchanged.
 _HASH_W = np.random.RandomState(7).randint(
     1, (1 << 62), size=65536, dtype=np.int64
 ) | np.int64(1)
+_BLOCK_MULT = np.int64(-7046029254386353131)  # odd; wraps in int64
 
 
 def heuristic_scores(text: str) -> dict:
@@ -68,7 +70,8 @@ def _line_hashes(flat: pa.Array) -> np.ndarray:
     pos = np.arange(off[0], off[-1], dtype=np.int64) - np.repeat(
         off[:-1], lens
     )
-    vals = data[off[0]: off[-1]].astype(np.int64) * _HASH_W[pos % len(_HASH_W)]
+    w = _HASH_W[pos & 0xFFFF] + (pos >> 16) * _BLOCK_MULT
+    vals = data[off[0]: off[-1]].astype(np.int64) * w
     cs = np.zeros(len(vals) + 1, dtype=np.int64)
     np.cumsum(vals, out=cs[1:])
     rel = off - off[0]

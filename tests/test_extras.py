@@ -191,6 +191,92 @@ def test_embedding_near_dup_pairs_finds_planted():
     assert {(0, 5000), (1, 5001), (2, 5002)} <= got
 
 
+def test_embedding_near_dup_degenerate_bucket(monkeypatch):
+    """A bucket of 1k identical vectors must finish in bounded time (the
+    pair scan is one vectorized matmul + triu, not a Python pair loop),
+    and buckets over MAX_EMB_BUCKET truncate to the smallest ids."""
+    import time
+
+    import ray.data as rd
+
+    import pipeline.extras.ann as ann
+
+    rng = np.random.RandomState(0)
+    v = rng.randn(8)
+    dup = pd.DataFrame({
+        "vec_id": np.arange(1000, dtype=np.int64),
+        "embedding": [v.copy() for _ in range(1000)],
+    })
+    t0 = time.monotonic()
+    pairs = ann.embedding_near_dup_pairs(rd.from_pandas(dup), threshold=0.999)
+    assert time.monotonic() - t0 < 60
+    assert len(pairs) == 1000 * 999 // 2  # all-identical: every pair
+
+    monkeypatch.setattr(ann, "MAX_EMB_BUCKET", 32)
+    capped = ann.embedding_near_dup_pairs(rd.from_pandas(dup), threshold=0.999)
+    assert len(capped) == 32 * 31 // 2  # deterministic: 32 smallest ids
+    assert set(capped["a"]) | set(capped["b"]) == set(range(32))
+
+
+def test_hash_sample_draws_across_files(tmp_path):
+    """hash_sample_frame must sample across ALL input files, not take the
+    first block like ds.limit() (centroid-fit sample bias)."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from pipeline.extras.ann import hash_sample_frame
+
+    rng = np.random.RandomState(1)
+    for fi in range(2):
+        ids = np.arange(fi * 1000, fi * 1000 + 1000, dtype=np.int64)
+        t = pa.table({
+            "vec_id": ids,
+            "embedding": list(rng.randn(1000, 4)),
+        })
+        pq.write_table(t, tmp_path / f"part-{fi}.parquet")
+    ds = rd.read_parquet(str(tmp_path))
+    s1 = hash_sample_frame(ds, id_col="vec_id", cols=["embedding"], limit=200)
+    assert len(s1) == 200
+    assert (s1["vec_id"] < 1000).any() and (s1["vec_id"] >= 1000).any()
+    # deterministic across runs
+    s2 = hash_sample_frame(ds, id_col="vec_id", cols=["embedding"], limit=200)
+    assert s1["vec_id"].tolist() == s2["vec_id"].tolist()
+
+
+def test_simhash_bucket_truncation_paths_agree(monkeypatch):
+    """A 70-member degenerate bucket (identical texts) exceeds MAX_BUCKET=64:
+    driver and distributed paths must agree on the truncated pair set
+    (both keep the 64 smallest ids -> C(64,2) pairs)."""
+    import ray.data as rd
+
+    import pipeline.extras.dedup as dd
+
+    docs = pd.DataFrame({
+        "doc_id": np.arange(70, dtype=np.int64),
+        "text": ["the same exact document text repeated for everyone"] * 70,
+    })
+    ds = rd.from_pandas(docs)
+    base = dd.simhash_pairs(ds, max_hamming=3).to_pandas()
+    assert len(base) == 64 * 63 // 2
+    assert set(base["a"]) | set(base["b"]) == set(range(64))
+    monkeypatch.setattr(dd, "DRIVER_PAIRS_MAX", 0)
+    dist = dd.simhash_pairs(ds, max_hamming=3).to_pandas()
+    assert base.sort_values(["a", "b"]).values.tolist() == \
+        dist.sort_values(["a", "b"]).values.tolist()
+
+
+def test_dedup_hint_path_matches_counted_path():
+    """n_docs_hint must not change results (it only skips the count round)."""
+    import pipeline.extras.dedup as dd
+
+    ds, _, _ = _dup_docs_ds()
+    n = ds.count()
+    base = dd.minhash_lsh_pairs(ds, threshold=0.6).to_pandas()
+    hinted = dd.minhash_lsh_pairs(ds, threshold=0.6, n_docs_hint=n).to_pandas()
+    assert base.sort_values(["a", "b"]).values.tolist() == \
+        hinted.sort_values(["a", "b"]).values.tolist()
+
+
 def test_textstats_token_counts(docs_ds):
     from pipeline.extras.textstats import token_count_stage
 

@@ -154,7 +154,7 @@ def test_checkpoint_resume(code_fixture, tmp_path):
     assert s2["total_rows"] == s1["total_rows"]
 
     m = committed_partitions(out2)[0]
-    assert set(m) >= {"input_files", "n_rows", "ledger64", "wall_sec", "engine_version"}
+    assert set(m) >= {"input_files", "n_rows", "ledger256", "wall_sec", "engine_version"}
     assert json.loads((out2 / "_manifests" / "part-00000.json").read_text())["partition_id"] == 0
 
 
@@ -237,3 +237,47 @@ def test_asof_join_int_right_cols_schema_stable():
     assert pd.isna(out["qty_r"].tolist()[2])  # unmatched
     assert out["qty_r"].tolist()[3] == 300
     assert out["lid"].dtype == "int64"
+
+
+def test_asof_join_rejects_left_ints_beyond_2_53():
+    """Left integer keys above 2^53 would be silently corrupted by the
+    null-padded union's float64 round-trip — must raise loudly instead."""
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from pipeline.partition import asof_join
+
+    left = pd.DataFrame({
+        "k": [1, 1], "t": [10, 20], "big_id": [1 << 60, (1 << 60) + 1]})
+    right = pd.DataFrame({"k": [1], "t": [5], "qty": [100]})
+    out = asof_join(
+        rd.from_pandas(left), rd.from_pandas(right),
+        on="t", by="k", right_cols=["qty"],
+    )
+    with pytest.raises(Exception, match="2\\^53"):
+        out.to_pandas()
+
+
+def test_partition_ledger_order_free_and_duplicate_sensitive():
+    """The 256-bit lattice ledger must be invariant to row order but NOT
+    to duplicate-row cancellation (the weakness of a plain XOR combine)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from pipeline._util import sha256_hex
+    from pipeline.checkpoint import partition_ledger
+
+    shas = [sha256_hex(f"doc-{i}") for i in range(10)]
+    a = rd.from_pandas(pd.DataFrame({"content_sha256": shas}))
+    b = rd.from_pandas(pd.DataFrame({"content_sha256": shas[::-1]}))
+    n_a, led_a = partition_ledger(a)
+    n_b, led_b = partition_ledger(b)
+    assert (n_a, led_a) == (n_b, led_b)
+    assert len(led_a) == 64  # 4 x 16 hex chars
+    # duplicated pair does NOT cancel back to the original fingerprint
+    c = rd.from_pandas(
+        pd.DataFrame({"content_sha256": shas + [shas[0], shas[0]]})
+    )
+    n_c, led_c = partition_ledger(c)
+    assert n_c == 12 and led_c != led_a

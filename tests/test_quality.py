@@ -52,6 +52,24 @@ def test_heuristics_scalar_vs_batch_parity():
             assert abs(batch[k][i] - v) < 1e-9, (k, t[:20], batch[k][i], v)
 
 
+def test_line_hash_no_64k_periodic_collision():
+    """Two >64 KiB lines with bytes swapped exactly 65536 apart collided
+    under the purely periodic weight table (weight(p) == weight(p+65536));
+    the block-index term must keep them distinct so repetition_score
+    matches the exact set-based scalar."""
+    import pyarrow as pa
+
+    l1 = "a" + "x" * 65535 + "b"
+    l2 = "b" + "x" * 65535 + "a"  # bytes at positions 0 and 65536 swapped
+    text = l1 + "\n" + l2
+    batch = heuristic_batch(pa.array([text]))
+    scalar = heuristic_scores(text)
+    assert scalar["repetition_score"] == 0.0
+    assert abs(batch["repetition_score"][0] - 0.0) < 1e-12
+    # short lines (< 64 KiB) keep their historical hashes: parity holds
+    assert abs(batch["alnum_ratio"][0] - scalar["alnum_ratio"]) < 1e-9
+
+
 def test_decide_rule_order_and_reasons():
     base = dict(
         lang_claim="python", lang_pred="python", lang_conf=0.9,
