@@ -19,6 +19,23 @@ import pandas as pd
 import pyarrow as pa
 
 
+def _round_ha(x, nd: int):
+    """Round half-away-from-zero on float64 — bit-mirrors DuckDB round()
+    (both compute floor(|x|*10^nd + 0.5) over the same IEEE doubles),
+    whereas pandas/numpy .round() is banker's (half-even) and flips the
+    driver value-hash whenever a result lands on an exact half boundary
+    (e.g. 0.965: DuckDB 0.97, pandas 0.96 — the double 0.965*100
+    multiplies to exactly 96.5). NaN passes through."""
+    scale = 10.0 ** nd
+    arr = np.asarray(x, dtype=np.float64)
+    out = np.sign(arr) * np.floor(np.abs(arr) * scale + 0.5) / scale
+    if isinstance(x, pd.Series):
+        return pd.Series(out, index=x.index, name=x.name)
+    if arr.ndim == 0:
+        return float(out)
+    return out
+
+
 def _docs(sf_dir: str):
     import ray.data as rd
 
@@ -75,10 +92,10 @@ def _doc_length_stats(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(
         [{
             "n_docs": int(row["n_docs"]),
-            "mean_chars": round(float(row["mean_chars"]), 3),
+            "mean_chars": _round_ha(float(row["mean_chars"]), 3),
             "min_chars": int(row["min_chars"]),
             "max_chars": int(row["max_chars"]),
-            "std_chars": round(float(row["std_chars"]), 3),
+            "std_chars": _round_ha(float(row["std_chars"]), 3),
         }]
     )
 
@@ -176,7 +193,7 @@ def _doc_alnum_ratio(sf_dir: str) -> pd.DataFrame:
         .aggregate(Mean("alnum_ratio", alias_name="avg_alnum"))
     )
     df = out.to_pandas()
-    df["avg_alnum"] = df["avg_alnum"].round(4)
+    df["avg_alnum"] = _round_ha(df["avg_alnum"], 4)
     return df
 
 
@@ -188,7 +205,7 @@ def _doc_quality(sf_dir: str) -> pd.DataFrame:
         quality_stage, batch_format="pyarrow", zero_copy_batch=True
     ).select_columns(["doc_id", "n_words", "punct_ratio"])
     df = out.to_pandas()
-    df["punct_ratio"] = df["punct_ratio"].round(4)
+    df["punct_ratio"] = _round_ha(df["punct_ratio"], 4)
     return df
 
 
@@ -240,7 +257,7 @@ def _orders_by_nation(sf_dir: str) -> pd.DataFrame:
         Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="total_price")
     )
     df = out.to_pandas()
-    df["total_price"] = df["total_price"].round(2)
+    df["total_price"] = _round_ha(df["total_price"], 2)
     return df.sort_values("n_name").reset_index(drop=True)
 
 
@@ -259,7 +276,7 @@ def _orders_customer_join(sf_dir: str) -> pd.DataFrame:
     )
     joined = hash_join(orders, cust, on="o_custkey", right_on="c_custkey")
     df = joined.select_columns(["o_orderkey", "c_name", "o_totalprice"]).to_pandas()
-    df["o_totalprice"] = df["o_totalprice"].round(2)
+    df["o_totalprice"] = _round_ha(df["o_totalprice"], 2)
     return df.sort_values("o_orderkey").reset_index(drop=True)
 
 
@@ -299,7 +316,7 @@ def _events_hourly(sf_dir: str) -> pd.DataFrame:
         .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
     )
     df = out.to_pandas()
-    df["sum_value"] = df["sum_value"].round(3)
+    df["sum_value"] = _round_ha(df["sum_value"], 3)
     return df
 
 
@@ -334,7 +351,7 @@ def _events_lag(sf_dir: str) -> pd.DataFrame:
 
     def lag(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["ts", "event_id"])
-        g["prev_value"] = g["value"].shift(1).round(3)
+        g["prev_value"] = _round_ha(g["value"].shift(1), 3)
         return g[["event_id", "prev_value"]]
 
     out = ds.groupby("user_id").map_groups(lag, batch_format="pandas")
@@ -365,7 +382,7 @@ def _ann_topk(sf_dir: str) -> pd.DataFrame:
 
     ds, queries, qids = _ann_queries(sf_dir)
     df = brute_force_topk(ds, queries, qids, k=ANN_K)
-    df["score"] = df["score"].round(4)
+    df["score"] = _round_ha(df["score"], 4)
     return df.sort_values(["query_id", "rank"]).reset_index(drop=True)
 
 
@@ -376,7 +393,7 @@ def _ann_topk_ivf(sf_dir: str) -> pd.DataFrame:
 
     ds, queries, qids = _ann_queries(sf_dir)
     df = ivf_topk(ds, queries, qids, k=ANN_K)
-    df["score"] = df["score"].round(4)
+    df["score"] = _round_ha(df["score"], 4)
     return df.sort_values(["query_id", "rank"]).reset_index(drop=True)
 
 
@@ -437,6 +454,51 @@ def _scrub_documents(sf_dir: str) -> pd.DataFrame:
         fn_kwargs={"column": "text", "profile": "conformance"},
         zero_copy_batch=True,
     ).select_columns(["doc_id", "n_pii_spans", "content_sha256"])
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+def _scrub_pii_corpus(sf_dir: str) -> pd.DataFrame:
+    """Recall-side evidence for the scrub operator on PII-BEARING text.
+
+    The driver testdata documents are PII-free, so `scrub_documents` is a
+    false-positive-only gate. This query writes a deterministic
+    PII-bearing conformance corpus (the generator knows the true spans,
+    hence the expected scrubbed sha256 per row) under /tmp, scrubs it
+    with the same Ray stage, and returns per-row span counts plus a
+    sha_match flag against the generator's expectation. Rows-only driver
+    check (the corpus is not a registered DuckDB view); recall is
+    evidenced by sum(n_pii_spans) > 0 with sha_match all-true
+    (asserted in tests/test_conformance.py as well)."""
+    import os
+
+    import pyarrow.compute as pc
+
+    from pipeline.ray_pipeline import conformance_pipeline
+    from pipeline.synth.corpus import write_conformance_table
+
+    n = max(200, _n_docs(sf_dir))
+    corpus_dir = f"/tmp/graft_pii_corpus_{n}"
+    if not os.path.isdir(corpus_dir):
+        write_conformance_table(corpus_dir + ".tmp", n, n_files=4, use_ray=False)
+        try:
+            os.rename(corpus_dir + ".tmp", corpus_dir)
+        except OSError:
+            pass  # concurrent writer won; content is deterministic
+    import ray.data as rd
+
+    from pipeline._util import clean_batch
+
+    ds = rd.read_parquet(
+        corpus_dir, columns=["doc_id", "text", "expected_sha256"]
+    ).map_batches(clean_batch, batch_format="pyarrow", zero_copy_batch=True)
+    out = conformance_pipeline(ds).map_batches(
+        lambda t: pa.table({
+            "doc_id": t["doc_id"],
+            "n_pii_spans": t["n_pii_spans"],
+            "sha_match": pc.equal(t["content_sha256"], t["expected_sha256"]),
+        }),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
     return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
@@ -561,12 +623,12 @@ def _lineitem_pricing(sf_dir: str) -> pd.DataFrame:
     # no final round: int/scale is one IEEE division, bit-identical to the
     # oracle; round(2) would re-introduce a half-boundary rule mismatch
     # (pandas half-even vs DuckDB half-away — observed at .965)
-    df["sum_qty"] = df["sum_qty"].round(2)
+    df["sum_qty"] = _round_ha(df["sum_qty"], 2)
     df["sum_base_price"] = df.pop("base_c") / 100.0
     df["sum_disc_price"] = df.pop("disc_c") / 10_000.0
     df["sum_charge"] = df.pop("charge_c") / 1_000_000.0
     for c in ("avg_qty", "avg_disc"):
-        df[c] = df[c].round(4)
+        df[c] = _round_ha(df[c], 4)
     cols = ["l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
             "sum_disc_price", "sum_charge", "avg_qty", "avg_disc", "count_order"]
     return df[cols].sort_values(
@@ -583,7 +645,7 @@ def _embedding_pairs_exact(sf_dir: str) -> pd.DataFrame:
 
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
     df = exact_cosine_pairs(ds, threshold=0.4)
-    df["cosine"] = df["cosine"].round(4)
+    df["cosine"] = _round_ha(df["cosine"], 4)
     return df
 
 
@@ -605,7 +667,7 @@ def _orders_topn_per_cust(sf_dir: str) -> pd.DataFrame:
 
     out = ds.groupby("o_custkey").map_groups(top3, batch_format="pandas")
     df = out.to_pandas()
-    df["o_totalprice"] = df["o_totalprice"].round(2)
+    df["o_totalprice"] = _round_ha(df["o_totalprice"], 2)
     return df.sort_values(["o_custkey", "rnk"]).reset_index(drop=True)
 
 
@@ -620,7 +682,7 @@ def _events_sliding_mean(sf_dir: str) -> pd.DataFrame:
 
     def roll(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["ts", "event_id"])
-        g["sliding_mean"] = g["value"].rolling(3, min_periods=1).mean().round(3)
+        g["sliding_mean"] = _round_ha(g["value"].rolling(3, min_periods=1).mean(), 3)
         return g[["event_id", "sliding_mean"]]
 
     out = ds.groupby("user_id").map_groups(roll, batch_format="pandas")
@@ -747,7 +809,7 @@ def _events_clicks_asof(sf_dir: str) -> pd.DataFrame:
     )
     out = asof_join(clicks, purchases, on="ts", by="user_id", right_cols=["value"])
     df = out.to_pandas()
-    df["purchase_value"] = df.pop("value_r").round(3)
+    df["purchase_value"] = _round_ha(df.pop("value_r").astype("float64"), 3)
     return df[["event_id", "purchase_value"]].sort_values(
         "event_id"
     ).reset_index(drop=True)
@@ -769,10 +831,12 @@ def _orders_price_band(sf_dir: str) -> pd.DataFrame:
 
     from pipeline.partition import broadcast_range_join
 
+    from pipeline._util import clean_batch
+
     bands = pd.DataFrame(_PRICE_BANDS, columns=["band_id", "lo", "hi"])
     orders = rd.read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
-    )
+    ).map_batches(clean_batch, batch_format="pyarrow", zero_copy_batch=True)
     joined = broadcast_range_join(orders, bands, "o_totalprice")
 
     def scale(t: pa.Table) -> pa.Table:
@@ -818,6 +882,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_dup_pairs": _simhash_pairs,
         "embedding_near_dups": _embedding_near_dups,
         "scrub_documents": _scrub_documents,
+        "scrub_pii_corpus": _scrub_pii_corpus,
         "langid_documents": _langid_documents,
         "doc_fingerprints": _doc_fingerprints,
         "dedup_keep_first": _dedup_keep_first,

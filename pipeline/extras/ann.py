@@ -247,21 +247,37 @@ def exact_cosine_pairs(
 def embedding_near_dup_pairs(
     ds: "ray.data.Dataset", threshold: float = 0.95, *,
     id_col: str = "vec_id", vec_col: str = "embedding", n_clusters: int = 16,
+    n_assign: int = 2,
 ) -> pd.DataFrame:
-    """Embedding-cosine near-dup: bucket by nearest centroid, exact cosine
+    """Embedding-cosine near-dup: bucket by nearest centroids, exact cosine
     within buckets only (per-group O(|bucket|^2), never global O(n^2)).
+
+    Multi-probe assignment: each vector lands in its `n_assign` nearest
+    buckets, so a near-dup pair straddling one bucket boundary still
+    co-occurs somewhere (single-assignment missed boundary pairs; the
+    standard multi-probe recall/cost trade — n_assign x the grouped rows).
+    Duplicate pair hits from shared buckets are dropped at the end.
     The within-bucket scan is ONE vectorized matmul + triu mask (no Python
     pair loop); buckets over MAX_EMB_BUCKET members are truncated to the
     MAX_EMB_BUCKET smallest ids with a WARN (mirrors dedup.MAX_BUCKET)."""
     sample = _sample_matrix(ds, vec_col, id_col, 4096)
     cent = kmeans_lite(sample, n_clusters)
     cent_ref = ray.put(cent)
+    n_assign = min(n_assign, n_clusters)
 
     def assign(batch: pa.Table) -> pa.Table:
         c = ray.get(cent_ref)
         m = _norm_rows(_to_matrix(batch[vec_col]))
-        a = (m @ c.T).argmax(axis=1)
-        return batch.append_column("_bucket", pa.array(a.astype(np.int32)))
+        s = m @ c.T
+        if n_assign == 1:
+            top = s.argmax(axis=1)[:, None]
+        else:
+            top = np.argpartition(-s, n_assign - 1, axis=1)[:, :n_assign]
+        idx = np.repeat(np.arange(len(batch)), n_assign)
+        out = batch.take(pa.array(idx))
+        return out.append_column(
+            "_bucket", pa.array(top.reshape(-1).astype(np.int32))
+        )
 
     bucketed = ds.map_batches(assign, batch_format="pyarrow", batch_size=4096)
 
@@ -283,4 +299,9 @@ def embedding_near_dup_pairs(
             columns=["a", "b", "cosine"],
         )
 
-    return bucketed.groupby("_bucket").map_groups(pairs, batch_format="pandas").to_pandas()
+    out = bucketed.groupby("_bucket").map_groups(
+        pairs, batch_format="pandas"
+    ).to_pandas()
+    # a pair whose members share >1 probed bucket is found in each — same
+    # cosine everywhere, keep one
+    return out.drop_duplicates(["a", "b"]).reset_index(drop=True)

@@ -157,3 +157,16 @@ def test_subword_bilou_single_token_and_miss():
     # span inside one token -> U; span beyond text -> no labels
     assert spans_to_bilou_offsets(offsets, [Span(5, 8, "AGE")])[2] == "U-AGE"
     assert spans_to_bilou_offsets(offsets, [Span(50, 60, "AGE")]) == ["O"] * 5
+
+
+def test_scrub_pii_corpus_query_recall_evidence(ray_session):
+    """The driver-facing scrub_pii_corpus query must exercise a corpus
+    with NONZERO true spans (recall-side evidence; scrub_documents is a
+    false-positive gate only) and match the generator's expected sha on
+    every row."""
+    import __ray_entry__ as entrymod
+
+    df = entrymod.queries()["scrub_pii_corpus"]("/root/testdata/sf0.001")
+    assert len(df) >= 200
+    assert int(df["n_pii_spans"].sum()) > 0
+    assert bool(df["sha_match"].all())
