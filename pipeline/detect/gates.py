@@ -74,13 +74,18 @@ _FWD_WINDOW = 14   # forward cues only count when adjacent ("{phone} call me")
 
 
 def _window_before(text: str, start: int) -> str:
-    return text[max(0, start - _WINDOW): start].lower()
+    # NOT lowercased: the cue regexes are IGNORECASE anyway, and the
+    # case-scoped boundary (?-i:(?<![a-z])) on short cues needs the real
+    # case — lowering the window turned swap-noise like "ZSSN:" / "S SN:"
+    # into "zssn:" / "s sn:" whose lowercase neighbor then wrongly
+    # blocked the cue (measured 28 SSN->PHONE misses per 4k docs).
+    return text[max(0, start - _WINDOW): start]
 
 
 def _window_after(text: str, end: int) -> str:
     """Forward cues must be in the SAME clause: '7084 call me' counts,
     '...1972. Call 555...' does not (the Call belongs to the next sentence)."""
-    win = text[end: end + _FWD_WINDOW].lower()
+    win = text[end: end + _FWD_WINDOW]
     for stop in (". ", "\n", "; "):
         idx = win.find(stop)
         if idx >= 0:

@@ -129,17 +129,37 @@ def _gate_dotspace334(text: str, m: Match) -> str | None:
     phone variation [G:186-187]. Phone area/exchange groups start 2-9 by
     construction (providers._phone_base), SSN groups are 100-999 — a
     leading '1' in group 1 or 2 proves SSN with zero phone-FP risk.
-    Otherwise nearest context cue decides, default PHONE."""
+    Otherwise nearest context cue decides; cueless candidates fall back
+    to the delimiter structure of the record templates, then to the
+    digit-shape default PHONE."""
     s = m.group()
     tail = s.replace(" ", "").replace(".", "")
     if len(tail) != 10:
         return "PHONE"
-    default = "SSN" if (tail[0] == "1" or tail[3] == "1") else "PHONE"
-    return resolve_numeric_cue(
+    lbl = resolve_numeric_cue(
         text, m.start(), m.end(),
         [("SSN", SSN_CUES), ("PHONE", PHONE_CUES)],
-        default=default,
+        default=None,
     )
+    if lbl is not None:
+        return lbl
+    # Delimiter-structure fallback — the record templates fix field order:
+    #   "… | SSN: {ssn} | Card: …"        [G:449]  ssn has a TRAILING pipe
+    #   "{person} | … | {phone}"           [G:464]  phone is the LAST field
+    #   "{person},{date},{email},{phone},{ssn}"  [G:463]
+    #   "{person};{date};{ssn};{org};{phone}"    [G:466]
+    before, after = pipe_flanked(text, m.start(), m.end())
+    if after:
+        return "SSN"
+    if before:
+        return "PHONE"
+    prev = text[m.start() - 1] if m.start() else ""
+    nxt = text[m.end()] if m.end() < len(text) else ""
+    if prev == ";":
+        return "SSN" if nxt == ";" else "PHONE"
+    if prev == ",":
+        return "PHONE" if nxt == "," else "SSN"
+    return "SSN" if (tail[0] == "1" or tail[3] == "1") else "PHONE"
 
 
 def _gate_bare4(text: str, m: Match) -> str | None:

@@ -117,6 +117,38 @@ def test_ssn_vectors(pid, value):
     assert_single(f"my ssn is {value} ok", value, "SSN")
 
 
+def test_dotted334_ssn_phone_resolution():
+    """Shape-ambiguous ddd.ddd.dddd / ddd ddd dddd [SSN G:138-141 vs phone
+    G:186-187]: nearest cue decides; cueless candidates fall back to the
+    record-template delimiter structure [G:449,463,464,466]; the last
+    resort is the digit-shape default (group starting '1' proves SSN,
+    else PHONE)."""
+    # cue-resolved pair (same value, opposite labels)
+    assert_single("SSN: 554.562.1703 on file", "554.562.1703", "SSN")
+    assert_single("call 554.562.1703 anytime", "554.562.1703", "PHONE")
+    # case-scoped fuzzy cue survives swap noise with an UPPERCASE neighbor
+    assert_single("record ZSSN: 763.457.6184 end", "763.457.6184", "SSN")
+    # comma CSV [G:463 "...,{phone},{ssn}"]: mid-record -> PHONE, last -> SSN
+    spans = detect_spans("zq,2/12/1969,q@proton.com,636.635.4701,497.954.7655")
+    got = {(s.label, ) for s in spans}
+    by_val = {"636.635.4701": None, "497.954.7655": None}
+    text = "zq,2/12/1969,q@proton.com,636.635.4701,497.954.7655"
+    for s in spans:
+        v = text[s.start:s.end]
+        if v in by_val:
+            by_val[v] = s.label
+    assert by_val["636.635.4701"] == "PHONE"
+    assert by_val["497.954.7655"] == "SSN"
+    # semicolon record [G:466 "{person};{date};{ssn};{org};{phone}"]
+    t2 = "zq;August/17;930 937 7020;Acme Corp"
+    labels = {t2[s.start:s.end]: s.label for s in detect_spans(t2)}
+    assert labels.get("930 937 7020") == "SSN"
+    # digit-shape default: cueless, no delimiters -> PHONE unless a group
+    # leads with '1' (impossible for phone area/exchange)
+    assert_single("noted 274.387.3287 here", "274.387.3287", "PHONE")
+    assert_single("noted 174.387.3287 here", "174.387.3287", "SSN")
+
+
 # ---- CREDIT_CARD (Luhn-valid) + AGE + DATE
 def test_credit_card_luhn_valid():
     assert_single("card 4532015112830366 charged", "4532015112830366", "CREDIT_CARD")
