@@ -36,16 +36,32 @@ def _round_ha(x, nd: int):
     return out
 
 
-def _docs(sf_dir: str):
+def _read(path: str, columns: list[str] | None = None):
+    """read_parquet with the pandas schema metadata stripped AT THE
+    SOURCE: the testdata parquet carries pandas metadata whose dict
+    values make pa.Schema unhashable, defeating Ray's block-schema dedup
+    ('Failed to hash the schemas' on every concat, including inside the
+    read operator itself where a downstream clean_batch can't help).
+    Passing a cleaned schema keeps every block hashable with no extra
+    map stage."""
+    from pathlib import Path
+
+    import pyarrow.parquet as pq
     import ray.data as rd
 
-    from pipeline._util import clean_batch
+    first = path
+    p = Path(path)
+    if p.is_dir():
+        cands = sorted(p.glob("*.parquet"))
+        first = str(cands[0]) if cands else path
+    sch = pq.ParquetFile(first).schema_arrow.remove_metadata()
+    if columns is not None:
+        sch = pa.schema([sch.field(c) for c in columns])
+    return rd.read_parquet(path, schema=sch, columns=columns)
 
-    # metadata strip fuses into the read task; keeps block schemas
-    # hashable for Ray's schema dedup (see pipeline._util.clean_batch)
-    return rd.read_parquet(f"{sf_dir}/documents.parquet").map_batches(
-        clean_batch, batch_format="pyarrow", zero_copy_batch=True
-    )
+
+def _docs(sf_dir: str):
+    return _read(f"{sf_dir}/documents.parquet")
 
 
 def entry() -> Any:
@@ -57,7 +73,7 @@ def entry() -> Any:
     from pipeline._util import hex_digest
     from pipeline.ray_pipeline import flagship_pipeline
 
-    ds = rd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    ds = _read("/root/testdata/sf0.001/documents.parquet")
 
     def adapt(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_pylist()
@@ -236,14 +252,14 @@ def _orders_by_nation(sf_dir: str) -> pd.DataFrame:
 
     from pipeline.partition import broadcast_join
 
-    cust = rd.read_parquet(
+    cust = _read(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
     ).to_pandas()
-    nation = rd.read_parquet(
+    nation = _read(
         f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
     ).to_pandas().rename(columns={"n_nationkey": "c_nationkey"})
     dim = cust.merge(nation, on="c_nationkey").rename(columns={"o_custkey": "c_custkey"})
-    orders = rd.read_parquet(
+    orders = _read(
         f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
     )
     joined = broadcast_join(
@@ -268,10 +284,10 @@ def _orders_customer_join(sf_dir: str) -> pd.DataFrame:
 
     from pipeline.partition import hash_join
 
-    orders = rd.read_parquet(
+    orders = _read(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_totalprice"]
     )
-    cust = rd.read_parquet(
+    cust = _read(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
     )
     joined = hash_join(orders, cust, on="o_custkey", right_on="c_custkey")
@@ -295,7 +311,7 @@ def _events_hourly(sf_dir: str) -> pd.DataFrame:
     import ray.data as rd
     from ray.data.aggregate import Count, Sum
 
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet")
+    ds = _read(f"{sf_dir}/events.parquet")
 
     def bucket(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -325,7 +341,7 @@ def _events_user_sessions(sf_dir: str) -> pd.DataFrame:
     the per-key ordered-log pattern for stream-shaped data."""
     import ray.data as rd
 
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    ds = _read(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
 
     def sessions(g: pd.DataFrame) -> pd.DataFrame:
         ts = g["ts"].sort_values().astype("int64") // 1_000_000  # sec
@@ -345,7 +361,7 @@ def _events_lag(sf_dir: str) -> pd.DataFrame:
     ts-sorted groups (Ray guide 'streaming-shaped workloads')."""
     import ray.data as rd
 
-    ds = rd.read_parquet(
+    ds = _read(
         f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
     )
 
@@ -366,7 +382,7 @@ ANN_K = 10
 def _ann_queries(sf_dir: str):
     import ray.data as rd
 
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    ds = _read(f"{sf_dir}/embeddings.parquet")
     qdf = (
         ds.filter(expr=f"vec_id < {N_ANN_QUERIES}")
         .to_pandas()
@@ -436,7 +452,7 @@ def _embedding_near_dups(sf_dir: str) -> pd.DataFrame:
 
     # the fixture embeddings are near-uniform on the sphere (max pairwise
     # cosine ~0.51 at sf0.01) — 0.4 exercises the operator end to end
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    ds = _read(f"{sf_dir}/embeddings.parquet")
     df = embedding_near_dup_pairs(ds, threshold=0.4)
     if len(df):
         df["cosine"] = df["cosine"].round(4)
@@ -476,10 +492,14 @@ def _scrub_pii_corpus(sf_dir: str) -> pd.DataFrame:
     from pipeline.ray_pipeline import conformance_pipeline
     from pipeline.synth.corpus import write_conformance_table
 
-    n = max(200, _n_docs(sf_dir))
+    # capped: the evidence (nonzero spans, all-rows sha parity) doesn't
+    # sharpen past ~2k rows, and row generation (rejection resampling) is
+    # the dominant cost; use_ray parallelizes it (per-row keyed RNG keeps
+    # the rows byte-identical to the sequential path)
+    n = min(2000, max(200, _n_docs(sf_dir)))
     corpus_dir = f"/tmp/graft_pii_corpus_{n}"
     if not os.path.isdir(corpus_dir):
-        write_conformance_table(corpus_dir + ".tmp", n, n_files=4, use_ray=False)
+        write_conformance_table(corpus_dir + ".tmp", n, n_files=4, use_ray=True)
         try:
             os.rename(corpus_dir + ".tmp", corpus_dir)
         except OSError:
@@ -488,7 +508,7 @@ def _scrub_pii_corpus(sf_dir: str) -> pd.DataFrame:
 
     from pipeline._util import clean_batch
 
-    ds = rd.read_parquet(
+    ds = _read(
         corpus_dir, columns=["doc_id", "text", "expected_sha256"]
     ).map_batches(clean_batch, batch_format="pyarrow", zero_copy_batch=True)
     out = conformance_pipeline(ds).map_batches(
@@ -569,7 +589,7 @@ def _lineitem_pricing(sf_dir: str) -> pd.DataFrame:
     from ray.data.aggregate import Count, Mean, Sum
 
     cutoff = datetime.datetime(1998, 9, 2)
-    ds = rd.read_parquet(
+    ds = _read(
         f"{sf_dir}/lineitem.parquet",
         columns=[
             "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
@@ -643,7 +663,7 @@ def _embedding_pairs_exact(sf_dir: str) -> pd.DataFrame:
 
     from pipeline.extras.ann import exact_cosine_pairs
 
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    ds = _read(f"{sf_dir}/embeddings.parquet")
     df = exact_cosine_pairs(ds, threshold=0.4)
     df["cosine"] = _round_ha(df["cosine"], 4)
     return df
@@ -655,7 +675,7 @@ def _orders_topn_per_cust(sf_dir: str) -> pd.DataFrame:
     pattern; SQL: row_number() OVER (PARTITION BY ...))."""
     import ray.data as rd
 
-    ds = rd.read_parquet(
+    ds = _read(
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_custkey", "o_totalprice"],
     )
@@ -676,7 +696,7 @@ def _events_sliding_mean(sf_dir: str) -> pd.DataFrame:
     + 2 preceding events' value per user (rows-preceding frame)."""
     import ray.data as rd
 
-    ds = rd.read_parquet(
+    ds = _read(
         f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
     )
 
@@ -699,11 +719,11 @@ def _customers_no_orders(sf_dir: str) -> pd.DataFrame:
     import ray as _ray
     import ray.data as rd
 
-    cust = rd.read_parquet(
+    cust = _read(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
     )
     okeys = (
-        rd.read_parquet(
+        _read(
             f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
         )
         .filter(expr="o_totalprice > 400000")
@@ -734,7 +754,7 @@ def _events_distinct_users(sf_dir: str) -> pd.DataFrame:
     import ray.data as rd
     from ray.data.aggregate import Count
 
-    ds = rd.read_parquet(
+    ds = _read(
         f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
     )
     pairs = ds.groupby(["event_type", "user_id"]).aggregate(Count(alias_name="_n"))
@@ -753,10 +773,10 @@ def _supplier_revenue(sf_dir: str) -> pd.DataFrame:
     import ray.data as rd
     from ray.data.aggregate import Sum
 
-    supp = rd.read_parquet(
+    supp = _read(
         f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"]
     ).to_pandas().rename(columns={"s_suppkey": "l_suppkey"})
-    li = rd.read_parquet(
+    li = _read(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_suppkey", "l_extendedprice", "l_discount"],
     )
@@ -795,7 +815,7 @@ def _events_clicks_asof(sf_dir: str) -> pd.DataFrame:
     co-partitioning shuffle, per-group merge_asof]."""
     import ray.data as rd
 
-    ev = rd.read_parquet(
+    ev = _read(
         f"{sf_dir}/events.parquet",
         columns=["event_id", "user_id", "ts", "event_type", "value"],
     )
@@ -834,7 +854,7 @@ def _orders_price_band(sf_dir: str) -> pd.DataFrame:
     from pipeline._util import clean_batch
 
     bands = pd.DataFrame(_PRICE_BANDS, columns=["band_id", "lo", "hi"])
-    orders = rd.read_parquet(
+    orders = _read(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
     ).map_batches(clean_batch, batch_format="pyarrow", zero_copy_batch=True)
     joined = broadcast_range_join(orders, bands, "o_totalprice")

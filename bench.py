@@ -39,7 +39,8 @@ QUERY_NAMES = [
     "lineitem_pricing", "embedding_pairs_exact", "doc_fingerprints",
     "orders_topn_per_cust", "events_sliding_mean", "customers_no_orders",
     "events_distinct_users", "supplier_revenue", "events_clicks_asof",
-    "orders_price_band",
+    "orders_price_band", "ann_topk_ivf", "embedding_near_dups",
+    "scrub_pii_corpus",
 ]
 
 

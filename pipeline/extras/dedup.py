@@ -483,6 +483,45 @@ def hamming64(a: int, b: int) -> int:
     return (a ^ b).bit_count()
 
 
+_PC_M1 = np.uint64(0x5555555555555555)
+_PC_M2 = np.uint64(0x3333333333333333)
+_PC_M4 = np.uint64(0x0F0F0F0F0F0F0F0F)
+_PC_H = np.uint64(0x0101010101010101)
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized SWAR popcount over a uint64 array."""
+    x = x.astype(np.uint64, copy=True)
+    x -= (x >> np.uint64(1)) & _PC_M1
+    x = (x & _PC_M2) + ((x >> np.uint64(2)) & _PC_M2)
+    x = (x + (x >> np.uint64(4))) & _PC_M4
+    return ((x * _PC_H) >> np.uint64(56)).astype(np.int64)
+
+
+def _simhash_bucket_pairs(
+    g: pd.DataFrame, max_hamming: int, key,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(a, b, hamming) arrays for one bucket — XOR matrix + SWAR popcount
+    + triu mask, no per-pair Python. Buckets over MAX_BUCKET truncate to
+    the MAX_BUCKET smallest ids (same rule as minhash), logged."""
+    recs = g.drop_duplicates("doc_id").sort_values("doc_id")
+    ids = recs["doc_id"].to_numpy().astype(np.int64)
+    if len(ids) > MAX_BUCKET:
+        logger.warning(
+            "simhash bucket %s truncated: %d members > MAX_BUCKET=%d",
+            key, len(ids), MAX_BUCKET,
+        )
+        ids = ids[:MAX_BUCKET]
+        recs = recs.head(MAX_BUCKET)
+    sims = recs["simhash"].to_numpy().astype(np.int64).view(np.uint64)
+    if len(ids) < 2:
+        z = np.empty(0, dtype=np.int64)
+        return z, z, z
+    d = _popcount64(sims[:, None] ^ sims[None, :])
+    iu, ju = np.nonzero(np.triu(d <= max_hamming, k=1))
+    return ids[iu], ids[ju], d[iu, ju]
+
+
 def simhash_pairs(
     ds: "ray.data.Dataset", *, id_col: str = "doc_id", text_col: str = "text",
     max_hamming: int = 3, n_docs_hint: int | None = None,
@@ -519,37 +558,37 @@ def simhash_pairs(
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         key = (int(g["band"].iloc[0]), int(g["key"].iloc[0]))
-        recs = g.drop_duplicates("doc_id").sort_values("doc_id")[["doc_id", "simhash"]].values
-        if len(recs) > MAX_BUCKET:
-            # truncate MEMBERS to the MAX_BUCKET smallest ids — the same
-            # rule as minhash's _bucket_pair_frame, so the driver and
-            # distributed paths agree on which pairs a degenerate bucket
-            # yields (a sliding i+MAX_BUCKET window did O(B*cap) work and
-            # diverged between paths on >cap buckets)
-            logger.warning(
-                "simhash bucket %s truncated: %d members > MAX_BUCKET=%d",
-                key, len(recs), MAX_BUCKET,
-            )
-            recs = recs[:MAX_BUCKET]
-        rows = []
-        for i in range(len(recs)):
-            for j in range(i + 1, len(recs)):
-                d = hamming64(int(recs[i][1]), int(recs[j][1]))
-                if d <= max_hamming:
-                    rows.append((int(recs[i][0]), int(recs[j][0]), d))
-        return pd.DataFrame(rows, columns=["a", "b", "hamming"]).astype("int64")
+        a, b, d = _simhash_bucket_pairs(g, max_hamming, key)
+        return pd.DataFrame({"a": a, "b": b, "hamming": d}).astype("int64")
 
     if n_members <= DRIVER_PAIRS_MAX:
         members = (
             members_any if isinstance(members_any, pd.DataFrame)
             else members_any.to_pandas()
         )
-        seen: dict[tuple, int] = {}
-        for _, g in members.groupby(["band", "key"], sort=False):
-            for _, r in bucket_pairs(g).iterrows():
-                seen.setdefault((int(r["a"]), int(r["b"])), int(r["hamming"]))
-        rows = [{"a": a, "b": b, "hamming": d} for (a, b), d in sorted(seen.items())]
-        return rd.from_pandas(pd.DataFrame(rows, columns=["a", "b", "hamming"]))
+        # vectorized per-bucket scan + one numpy dedup across bands (the
+        # old per-pair Python hamming + iterrows accumulation was ~4x the
+        # whole query's cost at bench scale); hamming is deterministic per
+        # pair, so keep-first == any-wins
+        a_l, b_l, d_l = [], [], []
+        for key, g in members.groupby(["band", "key"], sort=False):
+            a, b, d = _simhash_bucket_pairs(g, max_hamming, key)
+            if len(a):
+                a_l.append(a)
+                b_l.append(b)
+                d_l.append(d)
+        if not a_l:
+            return rd.from_pandas(empty)
+        a = np.concatenate(a_l)
+        b = np.concatenate(b_l)
+        d = np.concatenate(d_l)
+        order = np.lexsort((b, a))
+        a, b, d = a[order], b[order], d[order]
+        keep = np.ones(len(a), dtype=bool)
+        keep[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        return rd.from_pandas(pd.DataFrame(
+            {"a": a[keep], "b": b[keep], "hamming": d[keep]}
+        ))
 
     # ---- distributed path: per-bucket verify in map_groups, cross-band
     # dedup via a keys-only groupby (hamming is deterministic per pair,

@@ -67,7 +67,11 @@ def _repo_partials(batch: pa.Table) -> pa.Table:
         (int(s[:15], 16) for s in sha), dtype=np.int64, count=len(sha)
     )
     key64 = (repo_codes * np.int64(1000003) + sha_codes) & ((1 << 60) - 1)
-    sums_tbl = pa.Table.from_pandas(sums, preserve_index=False)
+    # from_pandas attaches pandas schema metadata whose dict values make
+    # the schema unhashable (defeats Ray's block-schema dedup) — strip it
+    sums_tbl = pa.Table.from_pandas(
+        sums, preserve_index=False
+    ).replace_schema_metadata(None)
     sums_tbl = sums_tbl.append_column(
         "key_blob", pa.array([None] * len(sums_tbl), pa.binary())
     )

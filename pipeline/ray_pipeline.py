@@ -43,8 +43,25 @@ def read_code_table(path: str | list[str], **kwargs) -> "ray.data.Dataset":
     if "override_num_blocks" not in kwargs:
         n_cpus = int(_ray.cluster_resources().get("CPU", 8))
         kwargs["override_num_blocks"] = max(16, 2 * n_cpus)
-    # metadata strip fuses into the read task: downstream schemas stay
-    # hashable (see pipeline._util.clean_batch)
+    if "schema" not in kwargs:
+        # strip pandas schema metadata AT THE SOURCE: unhashable metadata
+        # defeats Ray's block-schema dedup even inside the read operator,
+        # where a downstream clean_batch map can't reach
+        import pyarrow.parquet as pq
+        from pathlib import Path
+
+        first = path[0] if isinstance(path, (list, tuple)) else path
+        p = Path(first)
+        if p.is_dir():
+            cands = sorted(p.glob("*.parquet"))
+            first = str(cands[0]) if cands else None
+        if first is not None:
+            try:
+                kwargs["schema"] = pq.ParquetFile(first).schema_arrow.remove_metadata()
+            except Exception:
+                pass
+    if "schema" in kwargs:
+        return ray.data.read_parquet(path, **kwargs)
     return ray.data.read_parquet(path, **kwargs).map_batches(
         clean_batch, batch_format="pyarrow", zero_copy_batch=True
     )
