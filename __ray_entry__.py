@@ -434,6 +434,21 @@ def _minhash_pairs(sf_dir: str) -> pd.DataFrame:
     return df
 
 
+def _ngram_jaccard(sf_dir: str) -> pd.DataFrame:
+    """Exact all-pairs word-3-gram Jaccard >= 0.5 — the oracle-verifiable
+    definition behind minhash_dup_pairs' LSH approximation (same measure,
+    no banding loss). Charter dedup family: n-gram Jaccard."""
+    from pipeline.extras.dedup import ngram_jaccard_pairs
+
+    df = ngram_jaccard_pairs(
+        _docs(sf_dir), threshold=0.5, n_docs_hint=_n_docs(sf_dir)
+    ).to_pandas()
+    if len(df):
+        df["jaccard"] = _round_ha(df["jaccard"], 4)
+        df = df.sort_values(["a", "b"]).reset_index(drop=True)
+    return df
+
+
 def _simhash_pairs(sf_dir: str) -> pd.DataFrame:
     from pipeline.extras.dedup import simhash_pairs
 
@@ -586,7 +601,7 @@ def _lineitem_pricing(sf_dir: str) -> pd.DataFrame:
 
     import pyarrow.compute as pc
     import ray.data as rd
-    from ray.data.aggregate import Count, Mean, Sum
+    from ray.data.aggregate import Sum
 
     cutoff = datetime.datetime(1998, 9, 2)
     ds = _read(
@@ -609,12 +624,18 @@ def _lineitem_pricing(sf_dir: str) -> pd.DataFrame:
         )
 
     def derive(t: pa.Table) -> pa.Table:
+        # per-batch COMBINER: derive columns, then pre-aggregate with
+        # pa.Table.group_by so at most |flag x status| = 6 rows leave each
+        # batch — the downstream all-to-all shuffles partials, never the
+        # 600k derived rows (same aggregate-then-shuffle shape as
+        # _supplier_revenue). Means decompose to sum + count; float sums
+        # keep the same double-reduction class the Mean aggregate had.
         t = t.filter(pc.less_equal(t["l_shipdate"], pa.scalar(cutoff)))
         disc = pc.multiply(
             t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
         )
         charge = pc.multiply(disc, pc.add(pa.scalar(1.0), t["l_tax"]))
-        return pa.table(
+        t2 = pa.table(
             {
                 "l_returnflag": t["l_returnflag"],
                 "l_linestatus": t["l_linestatus"],
@@ -625,21 +646,30 @@ def _lineitem_pricing(sf_dir: str) -> pd.DataFrame:
                 "l_discount": t["l_discount"],
             }
         )
+        return t2.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [
+                ("l_quantity", "sum"), ("base_c", "sum"), ("disc_c", "sum"),
+                ("charge_c", "sum"), ("l_discount", "sum"),
+                ("l_quantity", "count"),
+            ]
+        )
 
     out = (
         ds.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True)
         .groupby(["l_returnflag", "l_linestatus"])
         .aggregate(
-            Sum("l_quantity", alias_name="sum_qty"),
-            Sum("base_c", alias_name="base_c"),
-            Sum("disc_c", alias_name="disc_c"),
-            Sum("charge_c", alias_name="charge_c"),
-            Mean("l_quantity", alias_name="avg_qty"),
-            Mean("l_discount", alias_name="avg_disc"),
-            Count(alias_name="count_order"),
+            Sum("l_quantity_sum", alias_name="sum_qty"),
+            Sum("base_c_sum", alias_name="base_c"),
+            Sum("disc_c_sum", alias_name="disc_c"),
+            Sum("charge_c_sum", alias_name="charge_c"),
+            Sum("l_discount_sum", alias_name="disc_sum"),
+            Sum("l_quantity_count", alias_name="count_order"),
         )
     )
     df = out.to_pandas()
+    df["avg_qty"] = df["sum_qty"] / df["count_order"]
+    df["avg_disc"] = df.pop("disc_sum") / df["count_order"]
+    df["count_order"] = df["count_order"].astype("int64")
     # no final round: int/scale is one IEEE division, bit-identical to the
     # oracle; round(2) would re-introduce a half-boundary rule mismatch
     # (pandas half-even vs DuckDB half-away — observed at .965)
@@ -899,6 +929,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": _ann_topk,
         "ann_topk_ivf": _ann_topk_ivf,
         "minhash_dup_pairs": _minhash_pairs,
+        "ngram_jaccard_pairs": _ngram_jaccard,
         "simhash_dup_pairs": _simhash_pairs,
         "embedding_near_dups": _embedding_near_dups,
         "scrub_documents": _scrub_documents,
@@ -987,6 +1018,40 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": """
             SELECT min(doc_id) AS doc_id, count(*) AS n_copies
             FROM documents GROUP BY text ORDER BY doc_id
+        """,
+        # Word 3-gram Jaccard over literal gram strings; the engine uses
+        # 61-bit hashed shingles — equal sets modulo vanishing-probability
+        # hash collisions, so values match exactly.
+        "ngram_jaccard_pairs": r"""
+            WITH words AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(text, '\s+'),
+                                   w -> w <> '') AS ws
+                FROM documents
+            ), grams AS (
+                SELECT doc_id,
+                       CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+                            ELSE [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                                  FOR i IN generate_series(1, len(ws) - 2)]
+                       END AS gs
+                FROM words
+            ), gset AS (
+                SELECT doc_id, unnest(list_distinct(gs)) AS g FROM grams
+            ), sizes AS (
+                SELECT doc_id, count(*) AS n FROM gset GROUP BY doc_id
+            ), inter AS (
+                SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS i
+                FROM gset x JOIN gset y
+                  ON x.g = y.g AND x.doc_id < y.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT id_a AS a, id_b AS b,
+                   round(i::DOUBLE / (sa.n + sb.n - i), 4) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.5
+            ORDER BY a, b
         """,
         "events_hourly": """
             SELECT event_type,

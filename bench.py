@@ -35,7 +35,8 @@ QUERY_NAMES = [
     "doc_length_stats", "doc_source_counts", "doc_top10_longest",
     "doc_token_counts", "dedup_exact", "dedup_keep_first", "events_hourly",
     "events_user_sessions", "ann_topk", "minhash_dup_pairs",
-    "simhash_dup_pairs", "scrub_documents", "langid_documents",
+    "simhash_dup_pairs", "ngram_jaccard_pairs", "scrub_documents",
+    "langid_documents",
     "lineitem_pricing", "embedding_pairs_exact", "doc_fingerprints",
     "orders_topn_per_cust", "events_sliding_mean", "customers_no_orders",
     "events_distinct_users", "supplier_revenue", "events_clicks_asof",

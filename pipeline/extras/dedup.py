@@ -611,6 +611,126 @@ def simhash_pairs(
     return rd.from_pandas(res[["a", "b", "hamming"]])
 
 
+# ------------------------------------------------ exact n-gram Jaccard
+
+EXACT_JACCARD_MAX_DOCS = 100_000  # driver cap for the exact baseline
+EXACT_JACCARD_PAIR_BUDGET = 50_000_000  # shingle co-occurrence guard
+
+
+def ngram_jaccard_pairs(
+    ds: "ray.data.Dataset", *, id_col: str = "doc_id", text_col: str = "text",
+    k: int = 3, threshold: float = 0.5, n_docs_hint: int | None = None,
+) -> "ray.data.Dataset":
+    """EXACT all-pairs word-k-gram Jaccard >= threshold: (a, b, jaccard),
+    a < b. This is the oracle-verifiable DEFINITION of n-gram
+    near-duplication; `minhash_lsh_pairs` is the banded approximation of
+    the same measure and the 100-TB path.
+
+    Shingling runs distributed (map_batches -> per-doc unique shingle-hash
+    sets as list<int64>); the similarity itself runs driver-side over an
+    inverted shingle index: sort + group boundaries + per-cardinality
+    vectorized pair explosion (np.triu_indices over a (groups, c) member
+    matrix) — no per-pair Python loop and no dense doc x vocab matrix.
+    Intersections come from one np.unique(return_counts) over combined
+    pair keys; unions from per-doc set sizes.
+
+    Scale posture: driver memory is bounded by the TOTAL SHINGLE COUNT
+    (8 B per unique gram per doc), so the op refuses corpora above
+    EXACT_JACCARD_MAX_DOCS docs, and refuses shingle co-occurrence
+    explosions above EXACT_JACCARD_PAIR_BUDGET (a gram shared by g docs
+    costs g*(g-1)/2 keys), rather than silently degrading — use the
+    banded `minhash_lsh_pairs` there.
+
+    Parity notes vs the string-gram SQL definition: hashed shingles
+    (blake2b words + polynomial combine, 61-bit space) collide with
+    string grams only by chance; docs with zero words are never paired
+    here (SQL's single empty-string gram would pair them at J=1.0); for
+    docs with < k words the single combined shingle is order-insensitive.
+    Neither edge occurs in corpora with >= k-word documents."""
+    import ray as _ray
+    import ray.data as rd
+
+    if n_docs_hint is not None and n_docs_hint > EXACT_JACCARD_MAX_DOCS:
+        raise ValueError(
+            f"ngram_jaccard_pairs is the exact baseline, capped at "
+            f"{EXACT_JACCARD_MAX_DOCS} docs (got hint {n_docs_hint}); "
+            "use minhash_lsh_pairs for the banded scale path"
+        )
+
+    def shingle_batch(batch: pa.Table) -> pa.Table:
+        arrays = [_shingles(t, k) for t in batch[text_col].to_pylist()]
+        sizes = np.fromiter(
+            (a.size for a in arrays), dtype=np.int64, count=len(arrays)
+        )
+        offsets = np.zeros(len(arrays) + 1, dtype=np.int32)
+        np.cumsum(sizes, out=offsets[1:])
+        values = (
+            np.concatenate(arrays) if arrays else np.empty(0, np.int64)
+        )
+        lst = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()), pa.array(values, pa.int64())
+        )
+        return pa.table({"_id": batch[id_col], "_sh": lst})
+
+    shingled = ds.select_columns([id_col, text_col]).map_batches(
+        shingle_batch, batch_format="pyarrow", batch_size=1024,
+        zero_copy_batch=True,
+    )
+    tab = pa.concat_tables(_ray.get(shingled.to_arrow_refs()))
+    empty = pd.DataFrame(
+        {"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64"),
+         "jaccard": pd.Series(dtype="float64")}
+    )
+    n = len(tab)
+    if n == 0:
+        return rd.from_pandas(empty)
+    if n > EXACT_JACCARD_MAX_DOCS:
+        raise ValueError(
+            f"ngram_jaccard_pairs capped at {EXACT_JACCARD_MAX_DOCS} docs "
+            f"(got {n}); use minhash_lsh_pairs"
+        )
+    ids = tab["_id"].to_numpy(zero_copy_only=False)
+    lists = tab["_sh"].combine_chunks()
+    values = lists.flatten().to_numpy(zero_copy_only=False)
+    sizes = np.diff(lists.offsets.to_numpy(zero_copy_only=False)).astype(np.int64)
+
+    doc_idx = np.repeat(np.arange(n, dtype=np.int64), sizes)
+    order = np.argsort(values, kind="stable")
+    sv, sd = values[order], doc_idx[order]
+    starts = np.flatnonzero(np.r_[True, sv[1:] != sv[:-1]])
+    counts = np.diff(np.r_[starts, sv.size])
+    total_keys = int((counts * (counts - 1) // 2).sum())
+    if total_keys > EXACT_JACCARD_PAIR_BUDGET:
+        raise ValueError(
+            f"shingle co-occurrence explosion: {total_keys} pair keys > "
+            f"budget {EXACT_JACCARD_PAIR_BUDGET}; use minhash_lsh_pairs"
+        )
+    key_parts = []
+    for c in np.unique(counts):
+        if c < 2:
+            continue
+        gsel = starts[counts == c]
+        # members are ascending within a group (stable sort preserves
+        # doc order), so m[:, ii] < m[:, jj] row-wise already
+        m = sd[gsel[:, None] + np.arange(int(c))[None, :]]
+        ii, jj = np.triu_indices(int(c), 1)
+        key_parts.append(m[:, ii].ravel() * n + m[:, jj].ravel())
+    if not key_parts:
+        return rd.from_pandas(empty)
+    uk, inter = np.unique(np.concatenate(key_parts), return_counts=True)
+    ia, ib = uk // n, uk % n
+    union = sizes[ia] + sizes[ib] - inter
+    jac = inter / union
+    mask = jac >= threshold
+    id_a, id_b = ids[ia[mask]], ids[ib[mask]]
+    swap = id_a > id_b
+    a = np.where(swap, id_b, id_a)
+    b = np.where(swap, id_a, id_b)
+    out = pd.DataFrame({"a": a, "b": b, "jaccard": jac[mask]})
+    out = out.sort_values(["a", "b"]).reset_index(drop=True)
+    return rd.from_pandas(out if len(out) else empty)
+
+
 # ---------------------------------------------------------- exact dedup
 
 def exact_dedup_stats(

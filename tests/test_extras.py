@@ -416,3 +416,64 @@ def test_ivf_high_recall_on_clustered_data():
         a = set(ivf[ivf["query_id"] == q]["vec_id"])
         recalls.append(len(a & b) / len(b))
     assert np.mean(recalls) >= 0.95, recalls
+
+
+# ------------------------------------------------ exact n-gram Jaccard
+
+
+def test_ngram_jaccard_exact_and_complete():
+    """On a 50-doc corpus with planted exact + near dups: every returned
+    value equals the reference per-pair jaccard(), and every brute-force
+    pair >= threshold is returned (completeness — the property the banded
+    minhash path only approximates)."""
+    import ray.data as rd
+
+    from pipeline.extras.dedup import jaccard, ngram_jaccard_pairs
+
+    base = rd.read_parquet(f"{SF}/documents.parquet").to_pandas().head(40)
+    exact = base.iloc[:5].copy()
+    exact["doc_id"] = exact["doc_id"] + 100000
+    near = base.iloc[5:10].copy()
+    near["doc_id"] = near["doc_id"] + 200000
+    near["text"] = near["text"] + " trailing extra"
+    aug = pd.concat([base, exact, near]).reset_index(drop=True)
+
+    got = ngram_jaccard_pairs(rd.from_pandas(aug), threshold=0.3).to_pandas()
+    got_pairs = dict(zip(zip(got["a"], got["b"]), got["jaccard"]))
+
+    texts = dict(zip(aug["doc_id"], aug["text"]))
+    ids = sorted(texts)
+    want = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            j = jaccard(texts[a], texts[b])
+            if j >= 0.3:
+                want[(a, b)] = j
+    assert set(got_pairs) == set(want)
+    for p, j in want.items():
+        assert got_pairs[p] == pytest.approx(j, abs=0), p
+    for _, row in exact.iterrows():
+        assert got_pairs[(row["doc_id"] - 100000, row["doc_id"])] == 1.0
+
+
+def test_ngram_jaccard_refuses_scale(monkeypatch):
+    """The exact baseline raises (pointing at minhash_lsh_pairs) instead of
+    silently degrading: corpus above the doc cap, or a degenerate shared
+    gram blowing the pair-key budget."""
+    import ray.data as rd
+
+    import pipeline.extras.dedup as dd
+
+    df = pd.DataFrame({"doc_id": [1, 2], "text": ["a b c d", "a b c e"]})
+    with pytest.raises(ValueError, match="minhash_lsh_pairs"):
+        dd.ngram_jaccard_pairs(rd.from_pandas(df), n_docs_hint=200_000)
+
+    ident = pd.DataFrame(
+        {"doc_id": np.arange(40), "text": ["same shared gram text"] * 40}
+    )
+    monkeypatch.setattr(dd, "EXACT_JACCARD_PAIR_BUDGET", 100)
+    with pytest.raises(ValueError, match="explosion"):
+        dd.ngram_jaccard_pairs(rd.from_pandas(ident))
+    monkeypatch.setattr(dd, "EXACT_JACCARD_MAX_DOCS", 10)
+    with pytest.raises(ValueError, match="capped"):
+        dd.ngram_jaccard_pairs(rd.from_pandas(ident))
