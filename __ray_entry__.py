@@ -700,22 +700,23 @@ def _embedding_pairs_exact(sf_dir: str) -> pd.DataFrame:
 
 
 def _orders_topn_per_cust(sf_dir: str) -> pd.DataFrame:
-    """Window rank: top-3 orders by price per customer —
-    groupby(key).map_groups over sorted groups (the per-key ordered
-    pattern; SQL: row_number() OVER (PARTITION BY ...))."""
-    import ray.data as rd
+    """Window rank: top-3 orders by price per customer (SQL:
+    row_number() OVER (PARTITION BY ...)) — two-phase topn_per_key:
+    per-batch vectorized trim to <=3 rows/(cust, batch), then a small
+    final reduce. No full-table shuffle; the exchange only ever moves
+    trimmed candidates."""
+    import pyarrow.parquet as pq
 
-    ds = _read(
-        f"{sf_dir}/orders.parquet",
-        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    from pipeline.partition import topn_per_key
+
+    f = f"{sf_dir}/orders.parquet"
+    ds = _read(f, columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    out = topn_per_key(
+        ds, key="o_custkey",
+        order_by=["o_totalprice", "o_orderkey"], ascending=[False, True],
+        n=3, rank_col="rnk",
+        n_rows_hint=pq.ParquetFile(f).metadata.num_rows,
     )
-
-    def top3(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True]).head(3)
-        g = g.assign(rnk=np.arange(1, len(g) + 1, dtype=np.int64))
-        return g
-
-    out = ds.groupby("o_custkey").map_groups(top3, batch_format="pandas")
     df = out.to_pandas()
     df["o_totalprice"] = _round_ha(df["o_totalprice"], 2)
     return df.sort_values(["o_custkey", "rnk"]).reset_index(drop=True)

@@ -516,3 +516,47 @@ def exact_dedup(
     )
     joined = hash_join(with_rk, winners.select_columns(["rk"]), on="rk")
     return joined.select_columns(cols)
+
+
+TOPN_DRIVER_MAX_ROWS = 2_000_000
+
+
+def topn_per_key(
+    ds: "ray.data.Dataset", *, key: str, order_by: list[str],
+    ascending: list[bool], n: int, rank_col: str = "rnk",
+    n_rows_hint: int | None = None,
+) -> "ray.data.Dataset":
+    """Top-n rows per key with a 1-based rank column (SQL:
+    row_number() OVER (PARTITION BY key ORDER BY ...) <= n) — two-phase:
+
+    1. per-batch vectorized TRIM (one mergesort + groupby.head — no
+       per-group Python): at most n rows per (key, batch) survive, so the
+       exchange moves candidates, never the full table;
+    2. final reduce over the trimmed partials — driver-side vectorized
+       sort + head + cumcount below TOPN_DRIVER_MAX_ROWS total input rows
+       (the trim output is <= that), else a distributed
+       groupby(key).map_groups over the (already trimmed) partials.
+
+    `order_by` must be a TOTAL order (include a unique tiebreak column),
+    otherwise the two paths — and reruns — may disagree on rank ties.
+    `n_rows_hint` (e.g. parquet metadata row count) picks the regime
+    without a count() round, like the dedup size switches."""
+    import ray.data as rd
+
+    def trim(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(order_by, ascending=ascending, kind="mergesort")
+        return df.groupby(key, sort=False).head(n)
+
+    partials = ds.map_batches(trim, batch_format="pandas", batch_size=8192)
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(order_by, ascending=ascending, kind="mergesort")
+        df = df.groupby(key, sort=False).head(n)
+        df[rank_col] = df.groupby(key, sort=False).cumcount().to_numpy() + 1
+        return df
+
+    if n_rows_hint is not None and n_rows_hint <= TOPN_DRIVER_MAX_ROWS:
+        return rd.from_pandas(
+            finalize(partials.to_pandas()).reset_index(drop=True)
+        )
+    return partials.groupby(key).map_groups(finalize, batch_format="pandas")

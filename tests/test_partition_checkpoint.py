@@ -281,3 +281,36 @@ def test_partition_ledger_order_free_and_duplicate_sensitive():
     )
     n_c, led_c = partition_ledger(c)
     assert n_c == 12 and led_c != led_a
+
+
+def test_topn_per_key_both_paths_match_pandas_oracle():
+    """Two-phase top-n must equal the plain window-rank oracle, on both
+    the driver reduce and the distributed map_groups finalize, even when
+    a key's top rows are scattered across many input batches."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from pipeline.partition import topn_per_key
+
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame({
+        "k": rng.integers(0, 37, size=5000),
+        "v": rng.integers(0, 400, size=5000),  # deliberate ties
+        "uid": np.arange(5000, dtype=np.int64),  # total-order tiebreak
+    })
+
+    ora = df.sort_values(["v", "uid"], ascending=[False, True], kind="mergesort")
+    ora = ora.groupby("k", sort=False).head(3).copy()
+    ora["rnk"] = ora.groupby("k", sort=False).cumcount() + 1
+    ora = ora.sort_values(["k", "rnk"]).reset_index(drop=True)
+
+    # many small blocks so per-key candidates straddle batch boundaries
+    ds = rd.from_pandas([df.iloc[i:i + 250] for i in range(0, 5000, 250)])
+    kw = dict(key="k", order_by=["v", "uid"], ascending=[False, True], n=3)
+    drv = topn_per_key(ds, n_rows_hint=5000, **kw).to_pandas()
+    dist = topn_per_key(ds, n_rows_hint=10**9, **kw).to_pandas()
+    for out in (drv, dist):
+        out = out.sort_values(["k", "rnk"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(out[["k", "v", "uid", "rnk"]],
+                                      ora[["k", "v", "uid", "rnk"]])
