@@ -307,16 +307,24 @@ def _row_key_col(t: pa.Table) -> pa.Array:
 def asof_join(
     left: "ray.data.Dataset", right: "ray.data.Dataset", *,
     on: str, by: str, right_cols: list[str], right_suffix: str = "_r",
+    n_buckets: int = 64,
 ) -> "ray.data.Dataset":
     """As-of join (backward, inclusive): for each left row, the latest
     right row with right.on <= left.on within the same `by` group —
     an operator Ray Data lacks, composed per the charter's recipe:
-    tag sides -> schema-aligned union -> groupby(by).map_groups with a
-    per-group sorted pandas merge_asof. ONE hash shuffle on the group key
-    co-partitions both sides.
+    tag sides -> schema-aligned union -> ONE hash shuffle that
+    co-partitions both sides, then a vectorized per-partition
+    `pd.merge_asof(..., by=by)`.
 
-    Partitioning assumption: a single `by` group fits one worker (the
-    same assumption as sessionization / any per-key ordered-log op).
+    The shuffle key is a coarse BUCKET (`hash(by) % n_buckets`), not the
+    raw key: thousands of per-key pandas groups each pay Python dispatch
+    overhead, while one merge_asof per bucket handles every key in the
+    bucket in a single cython pass (both sides sorted by `on`; `by=`
+    keeps groups separate). Partitioning assumption therefore RELAXES
+    from "one key group fits a worker" to "1/n_buckets of the keyspace
+    fits a worker" — hot single keys no longer pin a task, only hash
+    collisions of many hot keys could.
+
     Exact-tie right rows on `on` resolve to the last in (on, original
     order) — only relevant when two right rows share an identical
     timestamp."""
@@ -328,17 +336,31 @@ def asof_join(
     def tag(side: int, schema_cols, other_types):
         def fn(t: pa.Table) -> pa.Table:
             t = t.append_column("_side", pa.array(np.full(len(t), side, np.int8)))
+            # coarse shuffle bucket: keyed siphash (pd.util.hash_array,
+            # fixed key — deterministic across processes) of the group key
+            bkt = pd.util.hash_array(
+                t[by].to_numpy(zero_copy_only=False)
+            ) % np.uint64(n_buckets)
+            t = t.append_column("_bkt", pa.array(bkt.astype(np.int64)))
             for c, typ in other_types.items():
                 if c not in t.column_names:
                     t = t.append_column(c, pa.nulls(len(t), typ))
-            return t.select(schema_cols + ["_side"])
+            return t.select(schema_cols + ["_side", "_bkt"])
         return fn
+
+    def _pa_type(t):
+        # pandas-block datasets (e.g. from_pandas with object columns)
+        # report numpy dtypes here; arrow-block datasets report pa types
+        if isinstance(t, pa.DataType):
+            return t
+        t = np.dtype(t)
+        return pa.string() if t == np.dtype("O") else pa.from_numpy_dtype(t)
 
     r_schema = right.schema()
     l_schema = left.schema()
     # ray Schema wrapper: parallel .names / .types lists
-    l_types = dict(zip(l_schema.names, l_schema.types))
-    r_types = dict(zip(r_schema.names, r_schema.types))
+    l_types = {n: _pa_type(t) for n, t in zip(l_schema.names, l_schema.types)}
+    r_types = {n: _pa_type(t) for n, t in zip(r_schema.names, r_schema.types)}
     union_types = {**r_types, **l_types}
     lt = left.map_batches(
         tag(0, all_cols, {c: t for c, t in union_types.items() if c not in l_types}),
@@ -363,8 +385,12 @@ def asof_join(
         for c in keep_right if c != on
     }
 
-    def join_group(g: pd.DataFrame) -> pd.DataFrame:
-        lg = g[g["_side"] == 0].drop(columns=["_side"]).sort_values(on, kind="mergesort")
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # one vectorized merge_asof handles EVERY key in the bucket:
+        # both sides sorted by `on` (stable, so right exact-ties resolve
+        # to last-in-original-order, same as the per-key formulation),
+        # `by=` keeps keys separate inside the single cython pass
+        lg = g[g["_side"] == 0].sort_values(on, kind="mergesort")
         rg = g[g["_side"] == 1].sort_values(on, kind="mergesort")
         lg = lg[[c for c in l_cols]]
         for c in l_int_cols:
@@ -385,12 +411,16 @@ def asof_join(
         rsel = rg[keep_right].rename(
             columns={c: c + right_suffix for c in keep_right if c != on}
         )
-        out = pd.merge_asof(lg, rsel, on=on, direction="backward")
+        rsel[by] = rg[by].to_numpy()  # match key (post-rename: safe even
+        if rsel[by].dtype != lg[by].dtype:  # if by itself is a right_col)
+            rsel[by] = rsel[by].astype(lg[by].dtype)
+        out = pd.merge_asof(lg, rsel, on=on, by=by, direction="backward")
         for c, dt in r_out_dtypes.items():
             out[c] = out[c].astype(dt)
         return out
 
-    return lt.union(rt).groupby(by).map_groups(join_group, batch_format="pandas")
+    return lt.union(rt).groupby("_bkt").map_groups(
+        join_bucket, batch_format="pandas")
 
 
 def broadcast_range_join(

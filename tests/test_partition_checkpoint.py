@@ -314,3 +314,47 @@ def test_topn_per_key_both_paths_match_pandas_oracle():
         out = out.sort_values(["k", "rnk"]).reset_index(drop=True)
         pd.testing.assert_frame_equal(out[["k", "v", "uid", "rnk"]],
                                       ora[["k", "v", "uid", "rnk"]])
+
+
+def test_asof_join_bucketed_matches_pandas_oracle():
+    """The coarse-bucket formulation (one merge_asof(by=) per bucket)
+    must equal a global pd.merge_asof(by=) oracle across many keys —
+    including string keys (siphash bucketing) and keys with no right
+    rows at all."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from pipeline.partition import asof_join
+
+    rng = np.random.default_rng(11)
+    nkeys = 150
+    left = pd.DataFrame({
+        "k": [f"user-{i}" for i in rng.integers(0, nkeys, size=3000)],
+        "t": rng.integers(0, 10_000, size=3000),
+        "lid": np.arange(3000, dtype=np.int64),
+    })
+    right = pd.DataFrame({
+        # only even keys have right rows -> odd keys must yield nulls
+        "k": [f"user-{i * 2}" for i in rng.integers(0, nkeys // 2, size=1500)],
+        "t": rng.integers(0, 10_000, size=1500),
+        "qty": rng.integers(1, 1000, size=1500),
+    })
+
+    ora = pd.merge_asof(
+        left.sort_values("t", kind="mergesort"),
+        right.sort_values("t", kind="mergesort").rename(columns={"qty": "qty_r"}),
+        on="t", by="k", direction="backward",
+    ).sort_values("lid").reset_index(drop=True)
+
+    out = asof_join(
+        rd.from_pandas([left.iloc[i:i + 500] for i in range(0, 3000, 500)]),
+        rd.from_pandas([right.iloc[i:i + 500] for i in range(0, 1500, 500)]),
+        on="t", by="k", right_cols=["qty"], n_buckets=8,
+    ).to_pandas().sort_values("lid").reset_index(drop=True)
+
+    assert out["lid"].dtype == "int64"
+    pd.testing.assert_series_equal(
+        out["qty_r"].astype("float64"), ora["qty_r"].astype("float64"),
+        check_names=False,
+    )
