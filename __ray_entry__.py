@@ -337,28 +337,30 @@ def _events_hourly(sf_dir: str) -> pd.DataFrame:
 
 
 def _events_user_sessions(sf_dir: str) -> pd.DataFrame:
-    """Sessionization (30-min gap) per user via groupby().map_groups —
-    the per-key ordered-log pattern for stream-shaped data."""
-    import ray.data as rd
+    """Sessionization (30-min gap) per user — bucketed per-key ordered
+    op: a session starts at each key change or >30-min gap, counted in
+    one vectorized pass over each key bucket (per_key_ordered)."""
+    from pipeline.partition import per_key_ordered
 
     ds = _read(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
 
     def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        ts = g["ts"].sort_values().astype("int64") // 1_000_000  # sec
-        gaps = ts.diff().fillna(0)
-        n_sessions = int((gaps > 1800).sum()) + 1
-        return pd.DataFrame(
-            [{"user_id": int(g["user_id"].iloc[0]), "n_sessions": n_sessions}]
+        sec = g["ts"].astype("int64") // 1_000_000
+        new = g["user_id"].ne(g["user_id"].shift()) | sec.diff().gt(1800)
+        out = (
+            new.groupby(g["user_id"]).sum().rename("n_sessions").reset_index()
         )
+        out["n_sessions"] = out["n_sessions"].astype("int64")
+        return out
 
-    out = ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    out = per_key_ordered(ds, key="user_id", order_by=["ts"], fn=sessions)
     return out.to_pandas().sort_values("user_id").reset_index(drop=True)
 
 
 def _events_lag(sf_dir: str) -> pd.DataFrame:
     """Per-key ordered window (lag): previous event's value for the same
-    user — the as-of/ordered-log pattern: groupby(key).map_groups over
-    ts-sorted groups (Ray guide 'streaming-shaped workloads')."""
+    user — bucketed per-key ordered op (per_key_ordered): one vectorized
+    groupby(key).shift per key bucket, not one frame per key."""
     import ray.data as rd
 
     ds = _read(
@@ -366,11 +368,15 @@ def _events_lag(sf_dir: str) -> pd.DataFrame:
     )
 
     def lag(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        g["prev_value"] = _round_ha(g["value"].shift(1), 3)
+        g = g.assign(
+            prev_value=_round_ha(g.groupby("user_id")["value"].shift(1), 3)
+        )
         return g[["event_id", "prev_value"]]
 
-    out = ds.groupby("user_id").map_groups(lag, batch_format="pandas")
+    from pipeline.partition import per_key_ordered
+
+    out = per_key_ordered(
+        ds, key="user_id", order_by=["ts", "event_id"], fn=lag)
     df = out.to_pandas().sort_values("event_id").reset_index(drop=True)
     return df
 
@@ -724,7 +730,8 @@ def _orders_topn_per_cust(sf_dir: str) -> pd.DataFrame:
 
 def _events_sliding_mean(sf_dir: str) -> pd.DataFrame:
     """Sliding window over an ordered per-key stream: mean of the current
-    + 2 preceding events' value per user (rows-preceding frame)."""
+    + 2 preceding events' value per user (rows-preceding frame) — one
+    cython groupby.rolling pass per key bucket (per_key_ordered)."""
     import ray.data as rd
 
     ds = _read(
@@ -732,11 +739,17 @@ def _events_sliding_mean(sf_dir: str) -> pd.DataFrame:
     )
 
     def roll(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        g["sliding_mean"] = _round_ha(g["value"].rolling(3, min_periods=1).mean(), 3)
+        r = (
+            g.groupby("user_id", sort=False)["value"]
+            .rolling(3, min_periods=1).mean()
+        )
+        g = g.assign(sliding_mean=_round_ha(r.droplevel(0), 3))
         return g[["event_id", "sliding_mean"]]
 
-    out = ds.groupby("user_id").map_groups(roll, batch_format="pandas")
+    from pipeline.partition import per_key_ordered
+
+    out = per_key_ordered(
+        ds, key="user_id", order_by=["ts", "event_id"], fn=roll)
     return out.to_pandas().sort_values("event_id").reset_index(drop=True)
 
 

@@ -590,3 +590,36 @@ def topn_per_key(
             finalize(partials.to_pandas()).reset_index(drop=True)
         )
     return partials.groupby(key).map_groups(finalize, batch_format="pandas")
+
+
+def per_key_ordered(
+    ds: "ray.data.Dataset", *, key: str, order_by: list[str],
+    fn, n_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """Distributed per-key ordered-log op (lag / sessionize / sliding
+    window / rank) with COARSE key buckets: `hash(key) % n_buckets` is
+    the ONE shuffle key, and `fn` receives a single pandas frame holding
+    every row of a bucket's keys sorted by (key, *order_by).
+
+    `fn` must be a vectorized frame-level function — typically a pandas
+    `groupby(key)` shift/rolling/cumsum, which runs in one cython pass
+    over the whole bucket — NOT a per-key callback. Compared to
+    `ds.groupby(key).map_groups(per_key_fn)` this trades millions of
+    tiny per-key pandas frames (each paying Python dispatch) for
+    n_buckets large ones, the same relaxation as `asof_join`:
+    "1/n_buckets of the keyspace fits a worker" instead of "every key
+    group is dispatched separately"."""
+
+    def add_bkt(t: pa.Table) -> pa.Table:
+        bkt = pd.util.hash_array(
+            t[key].to_numpy(zero_copy_only=False)
+        ) % np.uint64(n_buckets)
+        return t.append_column("_bkt", pa.array(bkt.astype(np.int64)))
+
+    def run(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["_bkt"]).sort_values(
+            [key, *order_by], kind="mergesort")
+        return fn(g)
+
+    tagged = ds.map_batches(add_bkt, batch_format="pyarrow", zero_copy_batch=True)
+    return tagged.groupby("_bkt").map_groups(run, batch_format="pandas")
