@@ -586,16 +586,31 @@ def _dedup_keep_first(sf_dir: str) -> pd.DataFrame:
     [pipeline.partition.keep_first_by]."""
     import hashlib
 
+    import pyarrow.parquet as pq
+
     from pipeline.partition import keep_first_by
 
     def add_sha(t: pa.Table) -> pa.Table:
-        hs = [hashlib.sha256(x.encode()).hexdigest() for x in t["text"].to_pylist()]
+        # hash straight off the utf-8 buffer — no per-row str round-trip
+        from pipeline._util import string_buffers
+
+        col = t["text"].combine_chunks()
+        off, data = string_buffers(col)
+        mv = memoryview(data)
+        hs = [
+            hashlib.sha256(mv[off[i]: off[i + 1]]).hexdigest()
+            for i in range(len(col))
+        ]
         return t.append_column("_sha", pa.array(hs, pa.string()))
 
-    ds = _docs(sf_dir).map_batches(
+    f = f"{sf_dir}/documents.parquet"
+    ds = _read(f).map_batches(
         add_sha, batch_format="pyarrow", zero_copy_batch=True
     )
-    kept = keep_first_by(ds, group_col="_sha", order_col="doc_id")
+    kept = keep_first_by(
+        ds, group_col="_sha", order_col="doc_id",
+        n_rows_hint=pq.ParquetFile(f).metadata.num_rows,
+    )
     df = kept.select_columns(["doc_id", "source", "n_chars"]).to_pandas()
     return df.sort_values("doc_id").reset_index(drop=True)
 

@@ -464,13 +464,19 @@ def broadcast_range_join(
 def keep_first_by(
     ds: "ray.data.Dataset", *, group_col: str, order_col: str,
     broadcast_max: int = EXACT_DEDUP_BROADCAST_MAX,
+    n_rows_hint: int | None = None,
 ) -> "ray.data.Dataset":
     """Generic keep-first: retain the row with the minimum order_col per
     group_col. The wide op moves only (group, order) key pairs through a
     groupby().Min aggregate; the winner order values come back as a
     broadcast pc.is_in filter (map-only) or, above broadcast_max winners,
     a hash semi-join. Requires order_col values to be globally unique
-    (winner membership tests order_col alone)."""
+    (winner membership tests order_col alone).
+
+    `n_rows_hint` (e.g. parquet metadata row count) is an UPPER BOUND on
+    the winner count (winners <= input rows): when it fits broadcast_max
+    the materialize+count sizing round is skipped and the winner fetch is
+    a single execution."""
     import ray as _ray
     import pyarrow.compute as pc
     from ray.data.aggregate import Min
@@ -479,9 +485,13 @@ def keep_first_by(
         ds.select_columns([group_col, order_col])
         .groupby(group_col)
         .aggregate(Min(order_col, alias_name="_win"))
-        .materialize()
     )
-    if winners.count() <= broadcast_max:
+    if n_rows_hint is None or n_rows_hint > broadcast_max:
+        winners = winners.materialize()
+        small = winners.count() <= broadcast_max
+    else:
+        small = True
+    if small:
         vals = pa.array(winners.select_columns(["_win"]).to_pandas()["_win"])
         ref = _ray.put(vals)
 
@@ -500,8 +510,12 @@ def keep_first_by(
 def exact_dedup(
     scrubbed: "ray.data.Dataset", *,
     broadcast_max: int = EXACT_DEDUP_BROADCAST_MAX,
+    n_rows_hint: int | None = None,
 ) -> "ray.data.Dataset":
     """§2.7: keep the first (repo, path, commit) per content_sha256.
+    `n_rows_hint` upper-bounds the winner count and skips the
+    materialize+count sizing round when it fits broadcast_max (see
+    keep_first_by).
 
     The wide op moves only KEYS, never content: (sha, row_key) rows go
     through a groupby(sha).Min(row_key) aggregate — ~100 B/row — and the
@@ -526,9 +540,13 @@ def exact_dedup(
     )
     winners = keys.groupby("content_sha256").aggregate(
         Min("rk", alias_name="rk")
-    ).materialize()
-    n_winners = winners.count()
-    if n_winners <= broadcast_max:
+    )
+    if n_rows_hint is None or n_rows_hint > broadcast_max:
+        winners = winners.materialize()
+        small = winners.count() <= broadcast_max
+    else:
+        small = True
+    if small:
         rks = pa.array(winners.select_columns(["rk"]).to_pandas()["rk"])
         ref = _ray.put(rks)
 
