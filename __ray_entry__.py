@@ -938,6 +938,45 @@ def _orders_price_band(sf_dir: str) -> pd.DataFrame:
     ).reset_index(drop=True)
 
 
+def _corpus_term_freq(sf_dir: str) -> pd.DataFrame:
+    """Corpus vocabulary table (top-50 terms by occurrence, doc freq
+    alongside): per-batch (term, n_occ, n_docs) combiner -> vocabulary-
+    sized groupby -> sort+limit.  The token stream never shuffles."""
+    from pipeline.extras.corpusstats import term_freq
+
+    out = term_freq(_docs(sf_dir), top_k=50).to_pandas()
+    out["n_occ"] = out["n_occ"].astype("int64")
+    out["n_docs"] = out["n_docs"].astype("int64")
+    return out.reset_index(drop=True)
+
+
+def _doc_length_quantiles(sf_dir: str) -> pd.DataFrame:
+    """Exact distributed quantiles over doc length via (value, count)
+    histogram merge — only distinct lengths shuffle; rank walk on the
+    driver mirrors DuckDB quantile_disc (1-based rank ceil(q*n))."""
+    from pipeline.extras.corpusstats import value_counts_quantiles
+
+    qs = [0.25, 0.5, 0.75, 0.9, 0.99]
+    vals = value_counts_quantiles(_docs(sf_dir), "n_chars", qs)
+    return pd.DataFrame(
+        [{f"p{int(q * 100)}": int(v) for q, v in zip(qs, vals)}]
+    )
+
+
+def _events_distinct_users_hll(sf_dir: str) -> pd.DataFrame:
+    """Approximate grouped distinct count (HyperLogLog, p=12, ~1.6% se):
+    the 100-TB path when the key set is too large for the exact
+    two-level groupby (events_distinct_users is the labeled exact
+    baseline).  Deterministic (splitmix64 hash, no process salt); no SQL
+    oracle — approximate by design, accuracy unit-tested vs exact."""
+    from pipeline.extras.corpusstats import hll_distinct_by_key
+
+    ds = _read(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
+    out = hll_distinct_by_key(ds, "event_type", "user_id")
+    out["n_distinct_est"] = _round_ha(out["n_distinct_est"], 1)
+    return out
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "doc_length_stats": _doc_length_stats,
@@ -975,6 +1014,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_revenue": _supplier_revenue,
         "events_clicks_asof": _events_clicks_asof,
         "orders_price_band": _orders_price_band,
+        "corpus_term_freq": _corpus_term_freq,
+        "doc_length_quantiles": _doc_length_quantiles,
+        "events_distinct_users_hll": _events_distinct_users_hll,
     }
 
 
@@ -1209,6 +1251,24 @@ def oracle_sql() -> dict[str, str]:
             FROM orders o
             JOIN bands b ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
             GROUP BY b.band_id ORDER BY band_id
+        """,
+        "corpus_term_freq": """
+            WITH toks AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                FROM documents
+            )
+            SELECT term, count(*) AS n_occ,
+                   count(DISTINCT doc_id) AS n_docs
+            FROM toks WHERE term <> ''
+            GROUP BY term ORDER BY n_occ DESC, term LIMIT 50
+        """,
+        "doc_length_quantiles": """
+            SELECT quantile_disc(n_chars, 0.25) AS p25,
+                   quantile_disc(n_chars, 0.50) AS p50,
+                   quantile_disc(n_chars, 0.75) AS p75,
+                   quantile_disc(n_chars, 0.90) AS p90,
+                   quantile_disc(n_chars, 0.99) AS p99
+            FROM documents
         """,
         "events_clicks_asof": """
             SELECT c.event_id, round(p.value, 3) AS purchase_value

@@ -41,7 +41,8 @@ QUERY_NAMES = [
     "orders_topn_per_cust", "events_sliding_mean", "customers_no_orders",
     "events_distinct_users", "supplier_revenue", "events_clicks_asof",
     "orders_price_band", "ann_topk_ivf", "embedding_near_dups",
-    "scrub_pii_corpus",
+    "scrub_pii_corpus", "corpus_term_freq", "doc_length_quantiles",
+    "events_distinct_users_hll",
 ]
 
 

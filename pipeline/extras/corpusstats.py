@@ -1,0 +1,252 @@
+"""Corpus-level statistics operators for training-data curation:
+vocabulary / term-frequency tables, exact distributed quantiles over
+discrete columns, and a HyperLogLog cardinality sketch.
+
+All three follow the same scale discipline as the rest of the engine:
+the per-batch stage REDUCES before anything crosses the wire —
+
+- ``term_freq``: each batch emits at most |batch vocabulary| partial
+  (term, n_occ, n_docs) rows, so the groupby exchange moves vocabulary-
+  sized data, never token-sized data.  A natural-text corpus at 100 TB
+  has a vocabulary in the tens of millions of terms — the shuffle is
+  ~1e4x smaller than the token stream.
+- ``value_counts_quantiles``: exact quantiles over a discrete column
+  (int lengths, counts, bucket ids) via a (value, count) merge; only
+  distinct values shuffle, and the final cumulative-sum rank walk runs
+  on a driver table of |distinct values| rows.  For genuinely continuous
+  columns, quantize first (the caller picks the resolution) — this is
+  the classic histogram-merge quantile, not a full sort.
+- ``hll_distinct``: constant-size (2**p registers) sketch per batch,
+  tree-reduced with elementwise max; the answer costs O(blocks * 2**p
+  bytes) of traffic regardless of row count.  The exact counterpart
+  (two-level groupby, see __ray_entry__._events_distinct_users) is the
+  labeled baseline; this is the 100-TB path when the key set itself is
+  too large to shuffle.
+
+Analog in the reference: dataset_stats / label-distribution reporting
+[ref: evaluation/model_evaluation.py:240-276 length stats;
+synth_checks.ipynb cell 3 histogram] generalized to corpus scale.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+
+# ------------------------------------------------------------ term freq
+
+def term_freq_partial(batch: pa.Table, *, text_col: str = "text",
+                      doc_col: str = "doc_id") -> pa.Table:
+    """Per-batch combiner: (term, n_occ, n_docs) partial counts.
+
+    Tokenization is a plain single-space split (matching DuckDB
+    ``string_split(text, ' ')`` for the oracle); doc frequency is exact
+    because a document is one row and never straddles batches.
+    """
+    toks = pc.split_pattern(batch[text_col], " ")
+    flat = pc.list_flatten(toks)
+    parents = pc.list_parent_indices(toks)
+    df = pd.DataFrame({
+        "term": flat.to_pandas(),
+        "_doc": parents.to_pandas(),
+    })
+    df = df[df["term"] != ""]
+    occ = df.groupby("term", sort=False).agg(
+        n_occ=("term", "size"), n_docs=("_doc", "nunique")
+    ).reset_index()
+    return pa.table({
+        "term": pa.array(occ["term"], pa.string()),
+        "n_occ": pa.array(occ["n_occ"], pa.int64()),
+        "n_docs": pa.array(occ["n_docs"], pa.int64()),
+    })
+
+
+def term_freq(ds: "ray.data.Dataset", *, text_col: str = "text",
+              doc_col: str = "doc_id", top_k: int | None = None,
+              ) -> "ray.data.Dataset":
+    """Corpus vocabulary table: total occurrences + document frequency
+    per term, optionally trimmed to the top_k most frequent (ties broken
+    by term ascending, deterministic)."""
+    from ray.data.aggregate import Sum
+
+    partial = ds.map_batches(
+        lambda t: term_freq_partial(t, text_col=text_col, doc_col=doc_col),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    vocab = partial.groupby("term").aggregate(
+        Sum("n_occ", alias_name="n_occ"), Sum("n_docs", alias_name="n_docs")
+    )
+    if top_k is not None:
+        vocab = vocab.sort(["n_occ", "term"], descending=[True, False]).limit(top_k)
+    return vocab
+
+
+# ------------------------------------------------------- exact quantiles
+
+def value_counts(ds: "ray.data.Dataset", col: str) -> "ray.data.Dataset":
+    """(value, n) counts with a per-batch combiner — the exchange moves
+    distinct values only."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.table({col: t[col]}).group_by(col).aggregate([([], "count_all")])
+        return pa.table({col: g[col], "_n": pc.cast(g["count_all"], pa.int64())})
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(col)
+        .aggregate(Sum("_n", alias_name="n"))
+    )
+
+
+def quantiles_from_counts(counts: pd.DataFrame, col: str,
+                          qs: list[float]) -> list:
+    """Discrete quantiles from a (value, n) table, DuckDB
+    ``quantile_disc`` semantics: the value at 1-based rank
+    ``ceil(q * n_total)`` of the sorted multiset (verified bit-identical
+    against DuckDB on integer columns — both compute ceil over the same
+    IEEE double product)."""
+    counts = counts.sort_values(col).reset_index(drop=True)
+    vals = counts[col].to_numpy()
+    cum = counts["n"].to_numpy().cumsum()
+    n_total = int(cum[-1]) if len(cum) else 0
+    out = []
+    for q in qs:
+        if n_total == 0:
+            out.append(None)
+            continue
+        rank = min(max(int(math.ceil(q * n_total)), 1), n_total)
+        out.append(vals[int(np.searchsorted(cum, rank, side="left"))])
+    return out
+
+
+def value_counts_quantiles(ds: "ray.data.Dataset", col: str,
+                           qs: list[float]) -> list:
+    """Exact distributed quantiles over a discrete column: histogram
+    merge (distinct values shuffle, not rows), then a driver-side rank
+    walk over the |distinct|-row result."""
+    counts = value_counts(ds, col).to_pandas()
+    return quantiles_from_counts(counts, col, qs)
+
+
+# ------------------------------------------------------------ HLL sketch
+
+_HLL_P = 12  # 4096 registers; se ~ 1.04/sqrt(4096) = 1.6%
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Deterministic 64-bit mixer (splitmix64 finalizer) — vectorized,
+    no Python hash() (which is per-process salted for str and identity
+    for int)."""
+    z = x.astype(np.uint64, copy=True)
+    with np.errstate(over="ignore"):
+        z += np.uint64(0x9E3779B97F4A7C15)
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def hll_registers(values: np.ndarray, p: int = _HLL_P) -> np.ndarray:
+    """Register array (uint8, 2**p entries) for a batch of int64/uint64
+    keys: index = top p hash bits, register = 1 + leading-zero count of
+    the remaining 64-p bits (capped)."""
+    h = _splitmix64(values)
+    idx = (h >> np.uint64(64 - p)).astype(np.int64)
+    rest = (h << np.uint64(p)) | np.uint64((1 << p) - 1)  # low bits set: rho <= 64-p+1
+    # numpy has no clz and float64 log2 is lossy past 53 bits; compute
+    # bit_length exactly with a shift-reduction, then rho = 64 - bl + 1.
+    bl = np.zeros(len(rest), dtype=np.uint8)
+    r = rest.copy()
+    for shift in (32, 16, 8, 4, 2, 1):
+        mask = r >= (np.uint64(1) << np.uint64(shift))
+        bl[mask] += np.uint8(shift)
+        r[mask] >>= np.uint64(shift)
+    bl += np.uint8(1)  # bit_length
+    rho = (np.uint8(64) - bl + np.uint8(1)).astype(np.uint8)
+    regs = np.zeros(1 << p, dtype=np.uint8)
+    np.maximum.at(regs, idx, rho)
+    return regs
+
+
+def hll_estimate(regs: np.ndarray) -> float:
+    """Classic Flajolet et al. HLL estimator with small-range linear
+    counting correction (no bias table — adequate at 1.6% se)."""
+    m = float(len(regs))
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    inv = np.power(2.0, -regs.astype(np.float64))
+    est = alpha * m * m / inv.sum()
+    zeros = int((regs == 0).sum())
+    if est <= 2.5 * m and zeros:
+        est = m * math.log(m / zeros)
+    return est
+
+
+def hll_distinct(ds: "ray.data.Dataset", col: str, *, p: int = _HLL_P,
+                 ) -> float:
+    """Approximate distinct count of an integer column.  Stage 1 emits
+    one register row per input batch; stage 2 tree-combines 256 rows at
+    a time; the driver folds the (tiny) remainder.  Traffic is
+    O(blocks * 2**p bytes) independent of row count."""
+
+    def sketch(t: pa.Table) -> pa.Table:
+        vals = t[col].to_numpy(zero_copy_only=False).astype(np.int64)
+        regs = hll_registers(vals, p)
+        return pa.table({"regs": pa.array([regs.tobytes()], pa.binary())})
+
+    def combine(t: pa.Table) -> pa.Table:
+        acc = np.zeros(1 << p, dtype=np.uint8)
+        for blob in t["regs"].to_pylist():
+            np.maximum(acc, np.frombuffer(blob, dtype=np.uint8), out=acc)
+        return pa.table({"regs": pa.array([acc.tobytes()], pa.binary())})
+
+    sketches = ds.map_batches(
+        sketch, batch_format="pyarrow", zero_copy_batch=True
+    ).map_batches(combine, batch_format="pyarrow", batch_size=256)
+    acc = np.zeros(1 << p, dtype=np.uint8)
+    for row in sketches.take_all():  # <= n_blocks/256 rows, 4 KiB each
+        np.maximum(acc, np.frombuffer(row["regs"], dtype=np.uint8), out=acc)
+    return hll_estimate(acc)
+
+
+def hll_distinct_by_key(ds: "ray.data.Dataset", key_col: str, col: str,
+                        *, p: int = _HLL_P) -> pd.DataFrame:
+    """Approximate distinct count per group: one sketch per (batch, key)
+    partial, merged per key.  The exchange moves n_keys * 2**p bytes —
+    use a smaller p (e.g. 10) when the group count is large."""
+
+    def sketch(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "k": t[key_col].to_pandas(),
+            "v": t[col].to_numpy(zero_copy_only=False).astype(np.int64),
+        })
+        keys, blobs = [], []
+        for k, grp in df.groupby("k", sort=False):
+            keys.append(k)
+            blobs.append(hll_registers(grp["v"].to_numpy(), p).tobytes())
+        return pa.table({
+            key_col: pa.array(keys),
+            "regs": pa.array(blobs, pa.binary()),
+        })
+
+    def merge(grp: pd.DataFrame) -> pd.DataFrame:
+        acc = np.zeros(1 << p, dtype=np.uint8)
+        for blob in grp["regs"]:
+            np.maximum(acc, np.frombuffer(blob, dtype=np.uint8), out=acc)
+        return pd.DataFrame({
+            key_col: [grp[key_col].iloc[0]],
+            "n_distinct_est": [hll_estimate(acc)],
+        })
+
+    out = (
+        ds.map_batches(sketch, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(key_col)
+        .map_groups(merge, batch_format="pandas")
+    )
+    return out.to_pandas().sort_values(key_col).reset_index(drop=True)

@@ -477,3 +477,64 @@ def test_ngram_jaccard_refuses_scale(monkeypatch):
     monkeypatch.setattr(dd, "EXACT_JACCARD_MAX_DOCS", 10)
     with pytest.raises(ValueError, match="capped"):
         dd.ngram_jaccard_pairs(rd.from_pandas(ident))
+
+
+# ------------------------------------------------------- corpusstats ops
+
+def test_hll_registers_deterministic_and_mergeable():
+    from pipeline.extras.corpusstats import hll_estimate, hll_registers
+
+    a = np.arange(0, 5000, dtype=np.int64)
+    b = np.arange(2500, 8000, dtype=np.int64)
+    ra, rb = hll_registers(a), hll_registers(b)
+    assert np.array_equal(ra, hll_registers(a))  # process-salt-free
+    merged = np.maximum(ra, rb)
+    whole = hll_registers(np.arange(0, 8000, dtype=np.int64))
+    assert np.array_equal(merged, whole)  # sketch of union == merged sketches
+    est = hll_estimate(whole)
+    assert abs(est - 8000) / 8000 < 0.05
+
+
+def test_hll_distinct_accuracy_vs_exact():
+    import ray.data as rd
+
+    from pipeline.extras.corpusstats import hll_distinct
+
+    n = 20000
+    ids = np.repeat(np.arange(n, dtype=np.int64), 3)  # 60k rows, 20k distinct
+    ds = rd.from_arrow(pa.table({"user_id": ids})).repartition(8)
+    est = hll_distinct(ds, "user_id")
+    assert abs(est - n) / n < 0.05
+
+
+def test_quantiles_match_duckdb_disc_semantics():
+    import duckdb
+
+    from pipeline.extras.corpusstats import quantiles_from_counts
+
+    rng = np.random.default_rng(7)
+    vals = rng.integers(0, 50, size=501)
+    counts = (
+        pd.Series(vals).value_counts().rename_axis("v").reset_index(name="n")
+    )
+    qs = [0.1, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0]
+    got = quantiles_from_counts(counts, "v", qs)
+    con = duckdb.connect()
+    expect = [
+        con.execute(
+            f"SELECT quantile_disc(x, {q}) FROM (SELECT unnest($1) x)", [vals.tolist()]
+        ).fetchone()[0]
+        for q in qs
+    ]
+    assert [int(g) for g in got] == [int(e) for e in expect]
+
+
+def test_term_freq_batch_invariant(docs_ds):
+    """Same vocabulary table whether the corpus arrives as 1 block or 8."""
+    from pipeline.extras.corpusstats import term_freq
+
+    one = term_freq(docs_ds.repartition(1), top_k=20).to_pandas()
+    many = term_freq(docs_ds.repartition(8), top_k=20).to_pandas()
+    pd.testing.assert_frame_equal(
+        one.reset_index(drop=True), many.reset_index(drop=True)
+    )
