@@ -977,6 +977,71 @@ def _events_distinct_users_hll(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def _bench_docs(sf_dir: str) -> pd.DataFrame:
+    """Deterministic stand-in benchmark set: the 10 longest docs
+    (n_chars desc, doc_id tiebreak — same ordering as doc_top10_longest)."""
+    return (
+        _docs(sf_dir)
+        .select_columns(["doc_id", "text", "n_chars"])
+        .sort(["n_chars", "doc_id"], descending=[True, False])
+        .limit(10)
+        .to_pandas()
+    )
+
+
+def _decontaminate_snippets(sf_dir: str) -> pd.DataFrame:
+    """Benchmark decontamination, substring profile: docs containing the
+    first 120 chars of any benchmark doc, counted per source.  Map-only —
+    the 10-snippet benchmark side is the broadcast side; the corpus
+    streams."""
+    from ray.data.aggregate import Count
+
+    from pipeline.extras.decontaminate import flag_snippet_contamination
+
+    snippets = [t[:120] for t in _bench_docs(sf_dir)["text"]]
+    flagged = flag_snippet_contamination(_docs(sf_dir), snippets)
+    out = (
+        flagged
+        .map_batches(
+            lambda t: t.filter(t["contaminated"]).select(["source"]),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+        .groupby("source")
+        .aggregate(Count(alias_name="n_contaminated"))
+    )
+    return out.to_pandas().sort_values("source").reset_index(drop=True)
+
+
+def _decontaminate_ngrams(sf_dir: str) -> pd.DataFrame:
+    """Benchmark decontamination, word-8-gram hash overlap (the LLM
+    training-set hygiene pass; shares the dedup shingle hasher).  No SQL
+    oracle — n-gram hashing is not SQL-expressible; planted-contamination
+    coverage lives in tests/test_extras.py."""
+    from ray.data.aggregate import Count, Sum
+
+    from pipeline.extras.decontaminate import flag_ngram_contamination
+
+    bench = _bench_docs(sf_dir)["text"].tolist()
+    flagged = flag_ngram_contamination(_docs(sf_dir), bench, k=8)
+    out = (
+        flagged
+        .map_batches(
+            lambda t: t.filter(t["contaminated"]).select(
+                ["source", "n_bench_hits"]
+            ),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+        .groupby("source")
+        .aggregate(
+            Count(alias_name="n_contaminated"),
+            Sum("n_bench_hits", alias_name="n_hits"),
+        )
+    )
+    df = out.to_pandas().sort_values("source").reset_index(drop=True)
+    df["n_hits"] = df["n_hits"].astype("int64")
+    return df
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "doc_length_stats": _doc_length_stats,
@@ -1017,6 +1082,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_term_freq": _corpus_term_freq,
         "doc_length_quantiles": _doc_length_quantiles,
         "events_distinct_users_hll": _events_distinct_users_hll,
+        "decontaminate_snippets": _decontaminate_snippets,
+        "decontaminate_ngrams": _decontaminate_ngrams,
     }
 
 
@@ -1269,6 +1336,18 @@ def oracle_sql() -> dict[str, str]:
                    quantile_disc(n_chars, 0.90) AS p90,
                    quantile_disc(n_chars, 0.99) AS p99
             FROM documents
+        """,
+        "decontaminate_snippets": """
+            WITH bench AS (
+                SELECT substr(text, 1, 120) AS snip
+                FROM documents ORDER BY n_chars DESC, doc_id LIMIT 10
+            )
+            SELECT d.source, count(*) AS n_contaminated
+            FROM documents d
+            WHERE EXISTS (
+                SELECT 1 FROM bench b WHERE contains(d.text, b.snip)
+            )
+            GROUP BY d.source ORDER BY d.source
         """,
         "events_clicks_asof": """
             SELECT c.event_id, round(p.value, 3) AS purchase_value

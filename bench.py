@@ -42,7 +42,8 @@ QUERY_NAMES = [
     "events_distinct_users", "supplier_revenue", "events_clicks_asof",
     "orders_price_band", "ann_topk_ivf", "embedding_near_dups",
     "scrub_pii_corpus", "corpus_term_freq", "doc_length_quantiles",
-    "events_distinct_users_hll",
+    "events_distinct_users_hll", "decontaminate_snippets",
+    "decontaminate_ngrams",
 ]
 
 

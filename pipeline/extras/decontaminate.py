@@ -1,0 +1,102 @@
+"""Benchmark decontamination: flag training documents that overlap an
+evaluation/benchmark set, the standard pre-training hygiene step.
+
+Two detectors, both map-only (the benchmark side is small — MBs against
+a 100-TB corpus — so it is broadcast ONCE via ray.put and every task
+reads it from the object store; the corpus never shuffles):
+
+- ``snippet``: literal substring containment of benchmark snippets
+  (vectorized ``pc.match_substring`` per snippet, OR-folded).  Exactly
+  SQL-expressible, so it carries the DuckDB oracle.
+- ``ngram``: word k-gram hash overlap (the n-gram decontamination used
+  for LLM training sets); reuses the dedup shingle hasher
+  [[pipeline/extras/dedup.py]] so contamination and near-dup detection
+  share one tokenization.  Membership test is a searchsorted against
+  the sorted benchmark hash array — no Python set in the hot loop.
+
+Analog in the reference: the train/eval split hygiene the notebook
+relies on [ref: model.ipynb cells 6-8 train_test_split] promoted to a
+corpus-scale operator.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+from pipeline.extras.dedup import _shingles
+
+
+def benchmark_ngram_hashes(texts: list[str], k: int = 8) -> np.ndarray:
+    """Sorted unique word-k-gram hashes of the benchmark set (driver-side;
+    the benchmark is small by construction)."""
+    parts = [_shingles(t, k) for t in texts]
+    if not parts:
+        return np.empty(0, dtype=np.int64)
+    return np.unique(np.concatenate(parts))
+
+
+class NgramContaminationFlagger:
+    """Actor-pool stage: benchmark hash array fetched once per actor from
+    the object store; per doc, n_hits = |shingles(doc) ∩ benchmark|."""
+
+    def __init__(self, bench_ref, *, k: int = 8, text_col: str = "text"):
+        self.bench = ray.get(bench_ref) if not isinstance(
+            bench_ref, np.ndarray
+        ) else bench_ref
+        self.k = k
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        hits = np.empty(len(batch), dtype=np.int64)
+        for i, t in enumerate(batch[self.text_col].to_pylist()):
+            sh = _shingles(t, self.k)
+            if sh.size == 0 or self.bench.size == 0:
+                hits[i] = 0
+                continue
+            pos = np.searchsorted(self.bench, sh)
+            pos[pos == self.bench.size] = 0
+            hits[i] = int((self.bench[pos] == sh).sum())
+        batch = batch.append_column("n_bench_hits", pa.array(hits))
+        return batch.append_column(
+            "contaminated", pa.array(hits > 0)
+        )
+
+
+def flag_ngram_contamination(
+    ds: "ray.data.Dataset", bench_texts: list[str], *, k: int = 8,
+    text_col: str = "text", concurrency: int = 4,
+) -> "ray.data.Dataset":
+    """Annotate each doc with benchmark k-gram overlap (n_bench_hits,
+    contaminated).  Map-only: corpus streams, benchmark broadcast once."""
+    ref = ray.put(benchmark_ngram_hashes(bench_texts, k))
+    return ds.map_batches(
+        NgramContaminationFlagger,
+        fn_constructor_kwargs={"bench_ref": ref, "k": k, "text_col": text_col},
+        batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=concurrency,
+    )
+
+
+def flag_snippet_contamination(
+    ds: "ray.data.Dataset", snippets: list[str], *, text_col: str = "text",
+) -> "ray.data.Dataset":
+    """Annotate each doc with literal benchmark-snippet containment.
+    Vectorized: one pc.match_substring pass per snippet (the benchmark
+    side is small), OR-folded into one boolean column."""
+    snippets = [s for s in snippets if s]
+
+    def stage(batch: pa.Table) -> pa.Table:
+        txt = batch[text_col]
+        flag = np.zeros(len(batch), dtype=bool)
+        for s in snippets:
+            m = pc.match_substring(txt, s).to_numpy(zero_copy_only=False)
+            flag |= np.asarray(m, dtype=bool)
+        return batch.append_column("contaminated", pa.array(flag))
+
+    return ds.map_batches(stage, batch_format="pyarrow", zero_copy_batch=True)

@@ -538,3 +538,39 @@ def test_term_freq_batch_invariant(docs_ds):
     pd.testing.assert_frame_equal(
         one.reset_index(drop=True), many.reset_index(drop=True)
     )
+
+
+# ----------------------------------------------------- decontamination
+
+def test_ngram_contamination_planted():
+    import ray.data as rd
+
+    from pipeline.extras.decontaminate import flag_ngram_contamination
+
+    bench = ["the quick brown fox jumps over the lazy dog tonight again"]
+    clean = "completely unrelated words about ray data pipelines " * 3
+    # contains an 8-gram of the benchmark doc verbatim
+    dirty = "prefix words then the quick brown fox jumps over the lazy dog suffix"
+    ds = rd.from_pandas(pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": [clean, dirty, bench[0]],
+    }))
+    out = flag_ngram_contamination(ds, bench, k=8, concurrency=1).to_pandas()
+    out = out.sort_values("doc_id")
+    assert out["contaminated"].tolist() == [False, True, True]
+    assert out.loc[out.doc_id == 3, "n_bench_hits"].iloc[0] >= \
+        out.loc[out.doc_id == 2, "n_bench_hits"].iloc[0] > 0
+
+
+def test_snippet_contamination_planted():
+    import ray.data as rd
+
+    from pipeline.extras.decontaminate import flag_snippet_contamination
+
+    snip = "unique marker phrase xyzzy"
+    ds = rd.from_pandas(pd.DataFrame({
+        "doc_id": [1, 2],
+        "text": ["nothing to see here", f"leading {snip} trailing"],
+    }))
+    out = flag_snippet_contamination(ds, [snip]).to_pandas().sort_values("doc_id")
+    assert out["contaminated"].tolist() == [False, True]
