@@ -979,13 +979,26 @@ def _events_distinct_users_hll(sf_dir: str) -> pd.DataFrame:
 
 def _bench_docs(sf_dir: str) -> pd.DataFrame:
     """Deterministic stand-in benchmark set: the 10 longest docs
-    (n_chars desc, doc_id tiebreak — same ordering as doc_top10_longest)."""
-    return (
+    (n_chars desc, doc_id tiebreak — same ordering as doc_top10_longest),
+    found with a per-batch partial top-10 trim (each block contributes at
+    most 10 candidate rows; no global sort barrier)."""
+
+    def trim(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values(
+            ["n_chars", "doc_id"], ascending=[False, True]
+        )
+        return pa.Table.from_pandas(df.head(10), preserve_index=False)
+
+    cand = (
         _docs(sf_dir)
         .select_columns(["doc_id", "text", "n_chars"])
-        .sort(["n_chars", "doc_id"], descending=[True, False])
-        .limit(10)
+        .map_batches(trim, batch_format="pyarrow", zero_copy_batch=True)
         .to_pandas()
+    )
+    return (
+        cand.sort_values(["n_chars", "doc_id"], ascending=[False, True])
+        .head(10)
+        .reset_index(drop=True)
     )
 
 

@@ -41,45 +41,42 @@ def benchmark_ngram_hashes(texts: list[str], k: int = 8) -> np.ndarray:
     return np.unique(np.concatenate(parts))
 
 
-class NgramContaminationFlagger:
-    """Actor-pool stage: benchmark hash array fetched once per actor from
-    the object store; per doc, n_hits = |shingles(doc) ∩ benchmark|."""
-
-    def __init__(self, bench_ref, *, k: int = 8, text_col: str = "text"):
-        self.bench = ray.get(bench_ref) if not isinstance(
-            bench_ref, np.ndarray
-        ) else bench_ref
-        self.k = k
-        self.text_col = text_col
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        hits = np.empty(len(batch), dtype=np.int64)
-        for i, t in enumerate(batch[self.text_col].to_pylist()):
-            sh = _shingles(t, self.k)
-            if sh.size == 0 or self.bench.size == 0:
-                hits[i] = 0
-                continue
-            pos = np.searchsorted(self.bench, sh)
-            pos[pos == self.bench.size] = 0
-            hits[i] = int((self.bench[pos] == sh).sum())
-        batch = batch.append_column("n_bench_hits", pa.array(hits))
-        return batch.append_column(
-            "contaminated", pa.array(hits > 0)
-        )
+def _flag_batch(batch: pa.Table, bench: np.ndarray, k: int,
+                text_col: str) -> pa.Table:
+    hits = np.empty(len(batch), dtype=np.int64)
+    for i, t in enumerate(batch[text_col].to_pylist()):
+        sh = _shingles(t, k)
+        if sh.size == 0 or bench.size == 0:
+            hits[i] = 0
+            continue
+        pos = np.searchsorted(bench, sh)
+        pos[pos == bench.size] = 0
+        hits[i] = int((bench[pos] == sh).sum())
+    batch = batch.append_column("n_bench_hits", pa.array(hits))
+    return batch.append_column("contaminated", pa.array(hits > 0))
 
 
 def flag_ngram_contamination(
     ds: "ray.data.Dataset", bench_texts: list[str], *, k: int = 8,
-    text_col: str = "text", concurrency: int = 4,
+    text_col: str = "text", concurrency: int | None = None,
 ) -> "ray.data.Dataset":
     """Annotate each doc with benchmark k-gram overlap (n_bench_hits,
-    contaminated).  Map-only: corpus streams, benchmark broadcast once."""
+    contaminated).  Map-only: corpus streams, benchmark broadcast once.
+
+    Task pool, not actor pool: the per-task state fetch is a zero-copy
+    plasma read of the sorted hash array (ray.get of a shared-memory
+    numpy array — no deserialize, no per-actor spin-up), so a stateless
+    task stage beats paying actor-pool startup for a lookup table.
+    ``concurrency`` is accepted for API symmetry and pins the task
+    parallelism when given."""
     ref = ray.put(benchmark_ngram_hashes(bench_texts, k))
+
+    def flag(batch: pa.Table) -> pa.Table:
+        return _flag_batch(batch, ray.get(ref), k, text_col)
+
+    kwargs = {} if concurrency is None else {"concurrency": concurrency}
     return ds.map_batches(
-        NgramContaminationFlagger,
-        fn_constructor_kwargs={"bench_ref": ref, "k": k, "text_col": text_col},
-        batch_format="pyarrow", zero_copy_batch=True,
-        concurrency=concurrency,
+        flag, batch_format="pyarrow", zero_copy_batch=True, **kwargs
     )
 
 
