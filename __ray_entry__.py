@@ -1055,6 +1055,62 @@ def _decontaminate_ngrams(sf_dir: str) -> pd.DataFrame:
     return df
 
 
+def _docs_weighted_sample(sf_dir: str) -> pd.DataFrame:
+    """Deterministic weighted source-mixing sample: even-numbered
+    sources keep 50%, odd keep 20%, via the int64-safe golden-ratio
+    Weyl hash (SQL-reproducible bit-for-bit — pipeline/extras/mixing.py);
+    map-only, integer-domain threshold compare."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count
+
+    from pipeline.extras.mixing import weighted_sample
+
+    def rate_fn(t: pa.Table) -> np.ndarray:
+        n = pc.cast(
+            pc.utf8_slice_codeunits(t["source"], 3, 32), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        return np.where(n % 2 == 0, 0.5, 0.2)
+
+    ds = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "source"])
+    out = (
+        weighted_sample(ds, id_col="doc_id", rate_fn=rate_fn)
+        .groupby("source")
+        .aggregate(Count(alias_name="n_sampled"))
+    )
+    return out.to_pandas().sort_values("source").reset_index(drop=True)
+
+
+def _doc_pack_bins(sf_dir: str) -> pd.DataFrame:
+    """Greedy sequence packing (budget 512 whitespace tokens) per
+    source in doc_id order; per-source bins/docs/tokens/fill report.
+    No SQL oracle — first-fit packing needs a sequential scan (bin
+    boundary resets) that ANSI SQL can't express without recursion;
+    reference-loop equivalence + fill-bound property tests in
+    tests/test_extras.py."""
+    from pipeline.extras.mixing import pack_bins, pack_summary
+    from pipeline.extras.textstats import token_count_stage
+
+    budget = 512
+    ds = (
+        _read(
+            f"{sf_dir}/documents.parquet",
+            columns=["doc_id", "source", "text"],
+        )
+        .map_batches(token_count_stage, batch_format="pyarrow", zero_copy_batch=True)
+        .select_columns(["doc_id", "source", "n_tokens_ws"])
+    )
+    packed = pack_bins(
+        ds, key="source", order_by=["doc_id"],
+        token_col="n_tokens_ws", budget=budget,
+    ).to_pandas()
+    out = pack_summary(packed, key="source", token_col="n_tokens_ws", budget=budget)
+    out["n_bins"] = out["n_bins"].astype("int64")
+    out["n_docs"] = out["n_docs"].astype("int64")
+    out["total_tokens"] = out["total_tokens"].astype("int64")
+    out["mean_fill"] = _round_ha(out["mean_fill"], 4)
+    return out
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "doc_length_stats": _doc_length_stats,
@@ -1097,6 +1153,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_distinct_users_hll": _events_distinct_users_hll,
         "decontaminate_snippets": _decontaminate_snippets,
         "decontaminate_ngrams": _decontaminate_ngrams,
+        "docs_weighted_sample": _docs_weighted_sample,
+        "doc_pack_bins": _doc_pack_bins,
     }
 
 
@@ -1349,6 +1407,16 @@ def oracle_sql() -> dict[str, str]:
                    quantile_disc(n_chars, 0.90) AS p90,
                    quantile_disc(n_chars, 0.99) AS p99
             FROM documents
+        """,
+        "docs_weighted_sample": """
+            SELECT source, count(*) AS n_sampled
+            FROM documents
+            WHERE ((doc_id % 2147483647) * 1327217884) % 2147483647
+                  < CAST(floor(
+                        CASE WHEN CAST(substr(source, 4) AS INTEGER) % 2 = 0
+                             THEN 0.5 ELSE 0.2 END * 2147483647
+                    ) AS BIGINT)
+            GROUP BY source ORDER BY source
         """,
         "decontaminate_snippets": """
             WITH bench AS (

@@ -43,7 +43,7 @@ QUERY_NAMES = [
     "orders_price_band", "ann_topk_ivf", "embedding_near_dups",
     "scrub_pii_corpus", "corpus_term_freq", "doc_length_quantiles",
     "events_distinct_users_hll", "decontaminate_snippets",
-    "decontaminate_ngrams",
+    "decontaminate_ngrams", "docs_weighted_sample", "doc_pack_bins",
 ]
 
 

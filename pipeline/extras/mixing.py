@@ -1,0 +1,129 @@
+"""Data-mixing operators for training-set assembly: deterministic
+weighted sampling (per-source mixture rates) and greedy sequence
+packing (token-budget binning).
+
+- ``weighted_sample``: Bernoulli per row with a DETERMINISTIC hash —
+  a golden-ratio Weyl step ``h = (id % M) * A % M`` with
+  M = 2147483647 (prime) and A = round(M / phi) = 1327217884 — chosen
+  over a stronger bit-mixer precisely because the arithmetic stays
+  inside int64 (max intermediate < 2^62, no wraparound anywhere), so
+  ANSI SQL reproduces it bit-for-bit and the sample is verifiable
+  against the DuckDB oracle, re-runnable, and stable across cluster
+  sizes.  A multiplicative map mod a prime is affine, so its sampling
+  quality is exactly the 1-D equidistribution of {id*A/M} — the
+  golden-ratio multiplier makes that a Weyl sequence with optimal
+  discrepancy, correct even for small consecutive id ranges (a plain
+  LCG multiplier like 48271 fails there: id*48271 never wraps M for
+  id < 44k, so low ids all land below any threshold).  The rate
+  threshold compares in the INTEGER domain (h < floor(rate*M)) to
+  avoid float-boundary disagreement.  Map-only: no shuffle, no state.
+- ``pack_bins``: first-fit-in-order greedy packing of documents into
+  token-budget bins, the standard pretraining sequence-packing step.
+  Packing is inherently a sequential scan, so it runs per (key,
+  shard): rows are bucketed and ordered by [[pipeline/partition.py]]
+  ``per_key_ordered`` and each key's docs pack independently — at
+  100 TB each shard packs its own bins (bins never straddle shards),
+  which is exactly how production packers behave.  The scan itself is
+  O(n_bins) searchsorted steps over the cumsum, not O(n_docs) Python.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+_WEYL_M = 2147483647  # 2^31 - 1 (prime)
+_WEYL_A = 1327217884  # round(M / golden ratio); coprime to the prime M
+
+
+def weyl_hash(ids: np.ndarray) -> np.ndarray:
+    """h(id) in [0, M): golden-ratio Weyl step on (id mod M).  Max
+    intermediate is (M-1)*A < 2^62 — int64-safe, and expressible
+    verbatim in SQL: ((id % 2147483647) * 1327217884) % 2147483647."""
+    ids = ids.astype(np.int64, copy=False)
+    return (ids % _WEYL_M) * _WEYL_A % _WEYL_M
+
+
+def sample_mask(ids: np.ndarray, rates: np.ndarray) -> np.ndarray:
+    """Deterministic Bernoulli: keep row i iff h(id_i) < floor(rate_i*M).
+    Integer-domain compare — no float boundary ambiguity vs the oracle."""
+    thresh = np.floor(np.asarray(rates, dtype=np.float64) * _WEYL_M).astype(np.int64)
+    return weyl_hash(ids) < thresh
+
+
+def weighted_sample(
+    ds: "ray.data.Dataset", *, id_col: str, rate_fn,
+) -> "ray.data.Dataset":
+    """Filter to a deterministic weighted sample.  ``rate_fn(batch) ->
+    np.ndarray[float64]`` assigns each row its keep-rate (e.g. a lookup
+    from a source-mixture table); map-only, the corpus streams."""
+
+    def stage(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        mask = sample_mask(ids, rate_fn(t))
+        return t.filter(pa.array(mask))
+
+    return ds.map_batches(stage, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ------------------------------------------------------ sequence packing
+
+def pack_greedy(tokens: np.ndarray, budget: int) -> np.ndarray:
+    """First-fit-in-order bin ids: a new bin starts when adding the next
+    doc would exceed ``budget``; an oversized single doc gets its own
+    bin.  O(n_bins) searchsorted steps over the cumsum."""
+    tokens = np.asarray(tokens, dtype=np.int64)
+    bins = np.empty(len(tokens), dtype=np.int64)
+    if not len(tokens):
+        return bins
+    cum = tokens.cumsum()
+    start, b = 0, 0
+    base = 0
+    while start < len(tokens):
+        end = int(np.searchsorted(cum, base + budget, side="right"))
+        end = max(end, start + 1)  # oversized doc: own bin
+        bins[start:end] = b
+        base = int(cum[end - 1])
+        b += 1
+        start = end
+    return bins
+
+
+def pack_bins(
+    ds: "ray.data.Dataset", *, key: str, order_by: list[str],
+    token_col: str, budget: int, n_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """Per-key greedy sequence packing: rows arrive at the packer
+    bucketed and sorted by (key, *order_by); each key's docs pack
+    independently into ``bin_id`` 0..n_bins-1 (bin ids are per-key).
+    Returns the input rows + bin_id."""
+    from pipeline.partition import per_key_ordered
+
+    def pack_frame(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _, grp in g.groupby(key, sort=False):
+            grp = grp.copy()
+            grp["bin_id"] = pack_greedy(grp[token_col].to_numpy(), budget)
+            out.append(grp)
+        return pd.concat(out, ignore_index=True)
+
+    return per_key_ordered(
+        ds, key=key, order_by=order_by, fn=pack_frame, n_buckets=n_buckets
+    )
+
+
+def pack_summary(packed: pd.DataFrame, *, key: str, token_col: str,
+                 budget: int) -> pd.DataFrame:
+    """Per-key packing report: bins used, docs, tokens, mean fill."""
+    g = packed.groupby(key)
+    out = pd.DataFrame({
+        "n_bins": g["bin_id"].nunique(),
+        "n_docs": g.size(),
+        "total_tokens": g[token_col].sum(),
+    }).reset_index()
+    out["mean_fill"] = out["total_tokens"] / (out["n_bins"] * budget)
+    return out.sort_values(key).reset_index(drop=True)

@@ -574,3 +574,89 @@ def test_snippet_contamination_planted():
     }))
     out = flag_snippet_contamination(ds, [snip]).to_pandas().sort_values("doc_id")
     assert out["contaminated"].tolist() == [False, True]
+
+
+# ------------------------------------------------- mixing / packing ops
+
+def test_pack_greedy_matches_reference_loop():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pipeline.extras.mixing import pack_greedy
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(st.integers(min_value=1, max_value=700), max_size=60),
+        st.integers(min_value=1, max_value=600),
+    )
+    def check(tokens, budget):
+        got = pack_greedy(np.array(tokens, dtype=np.int64), budget).tolist()
+        # reference: plain sequential first-fit-in-order
+        ref, b, run = [], 0, 0
+        for t in tokens:
+            if ref and run + t > budget:
+                b, run = b + 1, 0
+            ref.append(b)
+            run += t
+        assert got == ref
+
+    check()
+
+
+def test_pack_greedy_fill_bound():
+    from pipeline.extras.mixing import pack_greedy
+
+    rng = np.random.default_rng(3)
+    tokens = rng.integers(1, 400, size=500)
+    budget = 512
+    bins = pack_greedy(tokens, budget)
+    assert (np.diff(bins) >= 0).all()  # contiguous, nondecreasing
+    sums = pd.Series(tokens).groupby(bins).sum()
+    counts = pd.Series(tokens).groupby(bins).size()
+    # a bin over budget can only be a single oversized doc
+    assert ((sums <= budget) | (counts == 1)).all()
+
+
+def test_pack_bins_distributed_matches_driver(docs_ds):
+    import ray.data as rd
+
+    from pipeline.extras.mixing import pack_bins, pack_greedy
+    from pipeline.extras.textstats import token_count_stage
+
+    ds = docs_ds.map_batches(
+        token_count_stage, batch_format="pyarrow", zero_copy_batch=True
+    ).select_columns(["doc_id", "source", "n_tokens_ws"])
+    got = (
+        pack_bins(ds.repartition(8), key="source", order_by=["doc_id"],
+                  token_col="n_tokens_ws", budget=256)
+        .to_pandas().sort_values(["source", "doc_id"]).reset_index(drop=True)
+    )
+    ref = ds.to_pandas().sort_values(["source", "doc_id"]).reset_index(drop=True)
+    ref["bin_id"] = -1
+    for _, grp in ref.groupby("source"):
+        ref.loc[grp.index, "bin_id"] = pack_greedy(
+            grp["n_tokens_ws"].to_numpy(), 256
+        )
+    pd.testing.assert_frame_equal(
+        got[["source", "doc_id", "bin_id"]], ref[["source", "doc_id", "bin_id"]]
+    )
+
+
+def test_weighted_sample_rate_extremes():
+    import ray.data as rd
+
+    from pipeline.extras.mixing import weighted_sample
+
+    df = pd.DataFrame({"doc_id": np.arange(1000, dtype=np.int64)})
+    ds = rd.from_pandas(df)
+    keep_all = weighted_sample(
+        ds, id_col="doc_id", rate_fn=lambda t: np.full(len(t), 1.0)
+    ).count()
+    keep_none = weighted_sample(
+        ds, id_col="doc_id", rate_fn=lambda t: np.zeros(len(t))
+    ).count()
+    half = weighted_sample(
+        ds, id_col="doc_id", rate_fn=lambda t: np.full(len(t), 0.5)
+    ).count()
+    assert keep_all == 1000 and keep_none == 0
+    assert 400 < half < 600  # hash-uniformity sanity
