@@ -950,6 +950,18 @@ def _corpus_term_freq(sf_dir: str) -> pd.DataFrame:
     return out.reset_index(drop=True)
 
 
+def _corpus_heavy_hitters(sf_dir: str) -> pd.DataFrame:
+    """Two-pass exact heavy hitters: per-batch top-m SpaceSaving summary
+    -> merged candidate pool -> broadcast recount of candidates only —
+    no vocabulary-sized shuffle ever (the 100-TB path; term_freq is the
+    labeled full-vocabulary baseline with the same oracle semantics)."""
+    from pipeline.extras.corpusstats import heavy_hitter_terms
+
+    out = heavy_hitter_terms(_docs(sf_dir), top_k=50).to_pandas()
+    out["n_occ"] = out["n_occ"].astype("int64")
+    return out.reset_index(drop=True)
+
+
 def _doc_length_quantiles(sf_dir: str) -> pd.DataFrame:
     """Exact distributed quantiles over doc length via (value, count)
     histogram merge — only distinct lengths shuffle; rank walk on the
@@ -1149,6 +1161,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_clicks_asof": _events_clicks_asof,
         "orders_price_band": _orders_price_band,
         "corpus_term_freq": _corpus_term_freq,
+        "corpus_heavy_hitters": _corpus_heavy_hitters,
         "doc_length_quantiles": _doc_length_quantiles,
         "events_distinct_users_hll": _events_distinct_users_hll,
         "decontaminate_snippets": _decontaminate_snippets,
@@ -1397,6 +1410,15 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT term, count(*) AS n_occ,
                    count(DISTINCT doc_id) AS n_docs
+            FROM toks WHERE term <> ''
+            GROUP BY term ORDER BY n_occ DESC, term LIMIT 50
+        """,
+        "corpus_heavy_hitters": """
+            WITH toks AS (
+                SELECT unnest(string_split(text, ' ')) AS term
+                FROM documents
+            )
+            SELECT term, count(*) AS n_occ
             FROM toks WHERE term <> ''
             GROUP BY term ORDER BY n_occ DESC, term LIMIT 50
         """,

@@ -88,6 +88,93 @@ def term_freq(ds: "ray.data.Dataset", *, text_col: str = "text",
     return vocab
 
 
+# ---------------------------------------------------- heavy hitters (2p)
+
+def _local_topm(batch: pa.Table, *, text_col: str, m: int) -> pa.Table:
+    """Per-batch SpaceSaving-style summary: exact local counts trimmed
+    to the m most frequent terms (count desc, term asc — deterministic).
+    A term dropped here had local count <= the m-th local count, which
+    bounds the global undercount of any non-candidate by
+    sum-over-batches of per-batch thresholds (the standard mergeable-
+    summary guarantee)."""
+    toks = pc.split_pattern(batch[text_col], " ")
+    flat = pc.list_flatten(toks).to_pandas()
+    occ = flat[flat != ""].value_counts()
+    occ = occ.sort_index().sort_values(ascending=False, kind="mergesort").head(m)
+    return pa.table({
+        "term": pa.array(occ.index, pa.string()),
+        "n_occ": pa.array(occ.to_numpy(), pa.int64()),
+    })
+
+
+def heavy_hitter_terms(
+    ds: "ray.data.Dataset", *, text_col: str = "text", top_k: int = 50,
+    m: int = 4096,
+) -> "ray.data.Dataset":
+    """Exact top-k terms WITHOUT a vocabulary-sized shuffle — the 100-TB
+    path when even |vocab| partial rows per batch (term_freq) is too much
+    traffic.  Two passes:
+
+    1. Sketch: each batch emits its local top-m summary (m rows, not
+       |batch vocab|); the merged candidate pool keeps the top ~4k terms
+       by summed lower-bound count.  An item can miss the pool only if
+       its true count < N_batches * (m-th local count) — for Zipf-like
+       text with m >> top_k this is far below the top-k cutoff.
+    2. Recount: candidate set broadcast (ray.put), each batch counts
+       ONLY candidate occurrences; a candidates-sized groupby yields
+       EXACT counts, then sort+limit(top_k).
+
+    The result is exact whenever pass 1's pool contains the true top-k
+    (guaranteed at m >= |vocab|, overwhelmingly likely otherwise);
+    traffic is O(blocks * m + |candidates|) rows, independent of corpus
+    vocabulary size.  Doc frequency is intentionally absent — it cannot
+    be recovered from a candidate recount without a second doc-level
+    pass; use term_freq when n_docs is needed."""
+    import ray as _ray
+    from ray.data.aggregate import Sum
+
+    partials = ds.map_batches(
+        lambda t: _local_topm(t, text_col=text_col, m=m),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).groupby("term").aggregate(Sum("n_occ", alias_name="n_lb"))
+    pool = (
+        partials.sort(["n_lb", "term"], descending=[True, False])
+        .limit(m)
+        .to_pandas()
+    )
+    cand = np.sort(pool["term"].to_numpy())
+    cand_ref = _ray.put(cand)
+
+    def recount(t: pa.Table) -> pa.Table:
+        cands = _ray.get(cand_ref)
+        toks = pc.split_pattern(t[text_col], " ")
+        flat = pc.list_flatten(toks).to_pandas().to_numpy()
+        if len(cands) and len(flat):
+            pos = np.searchsorted(cands, flat)
+            pos[pos == len(cands)] = 0
+            hits = flat[cands[pos] == flat]
+        else:
+            hits = flat[:0]
+        if not len(hits):
+            return pa.table({
+                "term": pa.array([], pa.string()),
+                "n_occ": pa.array([], pa.int64()),
+            })
+        occ = pd.Series(hits).value_counts()
+        return pa.table({
+            "term": pa.array(occ.index, pa.string()),
+            "n_occ": pa.array(occ.to_numpy(), pa.int64()),
+        })
+
+    return (
+        ds.map_batches(recount, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("term")
+        .aggregate(Sum("n_occ", alias_name="n_occ"))
+        .sort(["n_occ", "term"], descending=[True, False])
+        .limit(top_k)
+    )
+
+
 # ------------------------------------------------------- exact quantiles
 
 def value_counts(ds: "ray.data.Dataset", col: str) -> "ray.data.Dataset":

@@ -660,3 +660,17 @@ def test_weighted_sample_rate_extremes():
     ).count()
     assert keep_all == 1000 and keep_none == 0
     assert 400 < half < 600  # hash-uniformity sanity
+
+
+def test_heavy_hitters_exact_with_tiny_sketch(docs_ds):
+    """m=8 counters per batch (far below the 31-term vocab) must still
+    recover the exact top-5 because the recount pass is exact over the
+    candidate pool."""
+    from pipeline.extras.corpusstats import heavy_hitter_terms, term_freq
+
+    hh = heavy_hitter_terms(docs_ds, top_k=5, m=8).to_pandas()
+    full = term_freq(docs_ds, top_k=5).to_pandas()[["term", "n_occ"]]
+    pd.testing.assert_frame_equal(
+        hh.reset_index(drop=True).astype({"n_occ": "int64"}),
+        full.reset_index(drop=True).astype({"n_occ": "int64"}),
+    )
