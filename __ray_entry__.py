@@ -604,14 +604,18 @@ def _dedup_keep_first(sf_dir: str) -> pd.DataFrame:
         return t.append_column("_sha", pa.array(hs, pa.string()))
 
     f = f"{sf_dir}/documents.parquet"
-    ds = _read(f).map_batches(
+    ds = _read(f, columns=["doc_id", "text"]).map_batches(
         add_sha, batch_format="pyarrow", zero_copy_batch=True
     )
+    # the filter pass tests doc_id membership only: run it on a raw
+    # pruned read so the sha map stage is not re-executed (and text
+    # never enters the second pass at all)
     kept = keep_first_by(
         ds, group_col="_sha", order_col="doc_id",
         n_rows_hint=pq.ParquetFile(f).metadata.num_rows,
+        filter_ds=_read(f, columns=["doc_id", "source", "n_chars"]),
     )
-    df = kept.select_columns(["doc_id", "source", "n_chars"]).to_pandas()
+    df = kept.to_pandas()
     return df.sort_values("doc_id").reset_index(drop=True)
 
 

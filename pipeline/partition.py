@@ -465,6 +465,7 @@ def keep_first_by(
     ds: "ray.data.Dataset", *, group_col: str, order_col: str,
     broadcast_max: int = EXACT_DEDUP_BROADCAST_MAX,
     n_rows_hint: int | None = None,
+    filter_ds: "ray.data.Dataset | None" = None,
 ) -> "ray.data.Dataset":
     """Generic keep-first: retain the row with the minimum order_col per
     group_col. The wide op moves only (group, order) key pairs through a
@@ -476,7 +477,14 @@ def keep_first_by(
     `n_rows_hint` (e.g. parquet metadata row count) is an UPPER BOUND on
     the winner count (winners <= input rows): when it fits broadcast_max
     the materialize+count sizing round is skipped and the winner fetch is
-    a single execution."""
+    a single execution.
+
+    `filter_ds`: because winner membership tests order_col alone, the
+    second (filter) pass does not need group_col — when group_col was
+    derived by an expensive map stage (e.g. sha256 over text), pass the
+    UPSTREAM dataset here so that stage's lineage is not re-executed on
+    the filter pass. Must hold the same rows as `ds` keyed by order_col;
+    defaults to `ds`."""
     import ray as _ray
     import pyarrow.compute as pc
     from ray.data.aggregate import Min
@@ -486,6 +494,8 @@ def keep_first_by(
         .groupby(group_col)
         .aggregate(Min(order_col, alias_name="_win"))
     )
+    if filter_ds is None:
+        filter_ds = ds
     if n_rows_hint is None or n_rows_hint > broadcast_max:
         winners = winners.materialize()
         small = winners.count() <= broadcast_max
@@ -499,10 +509,12 @@ def keep_first_by(
             want = _ray.get(ref)
             return batch.filter(pc.is_in(batch[order_col], value_set=want))
 
-        return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
-    cols = ds.schema().names
+        return filter_ds.map_batches(
+            keep, batch_format="pyarrow", zero_copy_batch=True
+        )
+    cols = filter_ds.schema().names
     joined = hash_join(
-        ds, winners.select_columns(["_win"]), on=order_col, right_on="_win"
+        filter_ds, winners.select_columns(["_win"]), on=order_col, right_on="_win"
     )
     return joined.select_columns(cols)
 
