@@ -537,7 +537,12 @@ def exact_dedup(
     column crosses the wire at most once, in the semi-join case, instead
     of the old groupby(sha).map_groups which shuffled every full row.
     Assumes (repo, path, commit) identifies a row (exact full-duplicate
-    rows would all be kept)."""
+    rows would all be kept).
+
+    Both passes execute `scrubbed`'s lineage; run this over the WRITTEN
+    flagship output (a parquet read), not the live scrub pipeline, or
+    the scrub stage executes twice — the checkpointed flow in
+    checkpoint.run_partitioned already has this shape."""
     import ray as _ray
     import pyarrow.compute as pc
     from ray.data.aggregate import Min
