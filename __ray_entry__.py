@@ -1071,6 +1071,40 @@ def _decontaminate_ngrams(sf_dir: str) -> pd.DataFrame:
     return df
 
 
+def _doc_blocklist(sf_dir: str) -> pd.DataFrame:
+    """Toxicity/blocklist gate (stand-in wordlist — see
+    pipeline/quality/blocklist.py): per-source flagged-doc count and
+    total hits; one RE2 alternation, map-only, identical semantics in
+    the DuckDB oracle (both engines embed RE2)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from pipeline.quality.blocklist import blocklist_score_stage
+
+    def stage(t: pa.Table) -> pa.Table:
+        t = blocklist_score_stage(t)
+        flagged = pc.cast(pc.greater(t["n_blocked"], 0), pa.int64())
+        return pa.table({
+            "source": t["source"],
+            "flagged": flagged,
+            "n_blocked": t["n_blocked"],
+        })
+
+    ds = _read(f"{sf_dir}/documents.parquet", columns=["source", "text"])
+    out = (
+        ds.map_batches(stage, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("source")
+        .aggregate(
+            Sum("flagged", alias_name="n_flagged"),
+            Sum("n_blocked", alias_name="n_hits"),
+        )
+    )
+    df = out.to_pandas().sort_values("source").reset_index(drop=True)
+    df["n_flagged"] = df["n_flagged"].astype("int64")
+    df["n_hits"] = df["n_hits"].astype("int64")
+    return df
+
+
 def _docs_weighted_sample(sf_dir: str) -> pd.DataFrame:
     """Deterministic weighted source-mixing sample: even-numbered
     sources keep 50%, odd keep 20%, via the int64-safe golden-ratio
@@ -1172,6 +1206,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate_ngrams": _decontaminate_ngrams,
         "docs_weighted_sample": _docs_weighted_sample,
         "doc_pack_bins": _doc_pack_bins,
+        "doc_blocklist": _doc_blocklist,
     }
 
 
@@ -1433,6 +1468,20 @@ def oracle_sql() -> dict[str, str]:
                    quantile_disc(n_chars, 0.90) AS p90,
                    quantile_disc(n_chars, 0.99) AS p99
             FROM documents
+        """,
+        "doc_blocklist": """
+            WITH h AS (
+                SELECT source,
+                       length(regexp_extract_all(
+                           text, '\\b(?:slow|dup|big)\\b'
+                       )) AS n_blocked
+                FROM documents
+            )
+            SELECT source,
+                   CAST(sum(CASE WHEN n_blocked > 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_flagged,
+                   CAST(sum(n_blocked) AS BIGINT) AS n_hits
+            FROM h GROUP BY source ORDER BY source
         """,
         "docs_weighted_sample": """
             SELECT source, count(*) AS n_sampled

@@ -1,0 +1,60 @@
+"""Toxicity / blocklist scoring and scrubbing — the "toxicity-scrub"
+leg of the north rule's quality filter, as a deterministic wordlist
+operator (the classic badwords pass used alongside model-based toxicity
+at corpus scale; a learned scorer would slot into the same actor-pool
+stage shape as quality/langid.py).
+
+Vectorized end to end: one compiled RE2 alternation evaluated by Arrow's
+``count_substring_regex`` / ``replace_substring_regex`` per batch —
+map-only, no state, no shuffle.  Both Arrow and DuckDB embed RE2, so
+the same pattern string scores identically in the SQL oracle
+(``length(regexp_extract_all(...))``), making the toxicity gate
+oracle-checkable exactly.
+
+The default wordlist is a SYNTHETIC STAND-IN drawn from the testdata
+vocabulary (the fixtures contain no real toxic text); production use
+supplies a curated list via ``pattern_for``.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# stand-in list: terms that actually occur in the synthetic corpus so
+# counts/filters are non-trivial; swap for a curated list in production
+DEFAULT_BLOCKLIST = ["slow", "dup", "big"]
+
+
+def pattern_for(words: list[str]) -> str:
+    """RE2 word-boundary alternation, valid verbatim in Arrow and DuckDB."""
+    import re
+
+    return r"\b(?:" + "|".join(re.escape(w) for w in words) + r")\b"
+
+
+def blocklist_score_stage(
+    batch: pa.Table, *, pattern: str | None = None, text_col: str = "text",
+) -> pa.Table:
+    """Append n_blocked (total blocklist hits per row)."""
+    pat = pattern or pattern_for(DEFAULT_BLOCKLIST)
+    n = pc.cast(pc.count_substring_regex(batch[text_col], pat), pa.int64())
+    return batch.append_column("n_blocked", n)
+
+
+def blocklist_scrub_stage(
+    batch: pa.Table, *, pattern: str | None = None, text_col: str = "text",
+    replacement: str = "[BLOCKED]", out_col: str | None = None,
+) -> pa.Table:
+    """Redact blocklist hits (vectorized regex replace); writes back to
+    text_col unless out_col is given."""
+    pat = pattern or pattern_for(DEFAULT_BLOCKLIST)
+    scrubbed = pc.replace_substring_regex(batch[text_col], pat, replacement)
+    dst = out_col or text_col
+    if dst in batch.column_names:
+        batch = batch.set_column(
+            batch.column_names.index(dst), dst, scrubbed
+        )
+    else:
+        batch = batch.append_column(dst, scrubbed)
+    return batch

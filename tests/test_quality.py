@@ -198,3 +198,37 @@ def test_scrub_stage_matches_scalar_scrub():
             assert out["n_pii_spans"][i].as_py() == len(spans), (profile, i)
             assert out["content_scrubbed"][i].as_py() == s, (profile, i)
             assert out["content_sha256"][i].as_py() == sha256_hex(s), (profile, i)
+
+
+def test_blocklist_score_and_scrub_match_duckdb():
+    """Arrow RE2 and DuckDB RE2 must agree on both the hit counts and
+    the global-replace scrub for the same pattern string."""
+    import duckdb
+    import pyarrow as pa
+
+    from pipeline.quality.blocklist import (
+        blocklist_score_stage, blocklist_scrub_stage, pattern_for,
+    )
+
+    texts = [
+        "slow dup big", "SLOW case sensitive", "nodups here bigger",
+        "dup", "", "a slow slow day", "big-bang dup.dup slow,",
+    ]
+    pat = pattern_for(["slow", "dup", "big"])
+    batch = pa.table({"text": pa.array(texts, pa.string())})
+    scored = blocklist_score_stage(batch, pattern=pat)
+    scrubbed = blocklist_scrub_stage(batch, pattern=pat, out_col="scrubbed")
+
+    con = duckdb.connect()
+    for i, t in enumerate(texts):
+        n, s = con.execute(
+            "SELECT length(regexp_extract_all(?, ?)),"
+            " regexp_replace(?, ?, '[BLOCKED]', 'g')",
+            [t, pat, t, pat],
+        ).fetchone()
+        assert scored["n_blocked"][i].as_py() == n, (i, t)
+        assert scrubbed["scrubbed"][i].as_py() == s, (i, t)
+    # word boundaries: substrings inside longer words never match
+    assert scored["n_blocked"][2].as_py() == 0
+    # case-sensitive by construction
+    assert scored["n_blocked"][1].as_py() == 0
