@@ -674,3 +674,29 @@ def test_heavy_hitters_exact_with_tiny_sketch(docs_ds):
         hh.reset_index(drop=True).astype({"n_occ": "int64"}),
         full.reset_index(drop=True).astype({"n_occ": "int64"}),
     )
+
+
+def test_corpusstats_empty_inputs():
+    import ray.data as rd
+
+    from pipeline.extras.corpusstats import (
+        hll_estimate, hll_registers, quantiles_from_counts, term_freq,
+    )
+
+    empty = rd.from_arrow(pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "text": pa.array([], pa.string()),
+    }))
+    assert term_freq(empty).count() == 0
+    assert quantiles_from_counts(
+        pd.DataFrame({"v": [], "n": []}), "v", [0.5]
+    ) == [None]
+    assert hll_estimate(hll_registers(np.empty(0, dtype=np.int64))) == 0.0
+
+
+def test_pack_greedy_empty_and_oversized():
+    from pipeline.extras.mixing import pack_greedy
+
+    assert pack_greedy(np.empty(0, dtype=np.int64), 10).tolist() == []
+    # every doc over budget: one bin each
+    assert pack_greedy(np.array([50, 70, 60]), 10).tolist() == [0, 1, 2]
