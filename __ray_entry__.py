@@ -440,6 +440,23 @@ def _minhash_pairs(sf_dir: str) -> pd.DataFrame:
     return df
 
 
+def _near_dup_groups(sf_dir: str) -> pd.DataFrame:
+    """Pairs -> connected components -> canonical keep-list (the
+    actionable end of near-dedup): union-find over the LSH-verified
+    minhash pairs, canonical = component-min doc_id.  Driver-side over
+    the candidate-bounded pair set (never corpus-sized); rows-only —
+    transitive closure is not ANSI-SQL-expressible without recursion."""
+    from pipeline.extras.dedup import dup_groups, minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(
+        _docs(sf_dir), threshold=0.5, n_docs_hint=_n_docs(sf_dir)
+    )
+    out = dup_groups(pairs)
+    out["id"] = out["id"].astype("int64")
+    out["canonical_id"] = out["canonical_id"].astype("int64")
+    return out.sort_values("id").reset_index(drop=True)
+
+
 def _ngram_jaccard(sf_dir: str) -> pd.DataFrame:
     """Exact all-pairs word-3-gram Jaccard >= 0.5 — the oracle-verifiable
     definition behind minhash_dup_pairs' LSH approximation (same measure,
@@ -1181,6 +1198,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": _ann_topk,
         "ann_topk_ivf": _ann_topk_ivf,
         "minhash_dup_pairs": _minhash_pairs,
+        "near_dup_groups": _near_dup_groups,
         "ngram_jaccard_pairs": _ngram_jaccard,
         "simhash_dup_pairs": _simhash_pairs,
         "embedding_near_dups": _embedding_near_dups,

@@ -44,7 +44,7 @@ QUERY_NAMES = [
     "scrub_pii_corpus", "corpus_term_freq", "doc_length_quantiles",
     "events_distinct_users_hll", "decontaminate_snippets",
     "decontaminate_ngrams", "docs_weighted_sample", "doc_pack_bins",
-    "corpus_heavy_hitters", "doc_blocklist",
+    "corpus_heavy_hitters", "doc_blocklist", "near_dup_groups",
 ]
 
 

@@ -351,6 +351,50 @@ def _bucket_pair_frame(ids: list, key) -> list[tuple]:
     return [(ids[i], ids[j]) for i in range(len(ids)) for j in range(i + 1, len(ids))]
 
 
+def dup_groups(pairs, *, a_col: str = "a", b_col: str = "b") -> pd.DataFrame:
+    """Near-dup pairs -> connected components -> canonical keep-list: the
+    step that turns a pair stream into an actionable dedup decision.
+    Returns one row per doc that appears in any pair: (id, canonical_id,
+    keep) with canonical_id = the component's minimum id (deterministic)
+    and keep = (id == canonical_id).
+
+    Runs on the DRIVER by design: the pair set is bounded by candidate
+    count (LSH banding caps it — see minhash_lsh_pairs), never by corpus
+    size, so union-find over it is a small in-memory reduction — the
+    same winners-fit-on-driver contract as the broadcast side of
+    keep_first_by. Docs in no pair are implicitly kept and not listed."""
+    if hasattr(pairs, "to_pandas"):
+        pairs = pairs.to_pandas()
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in zip(pairs[a_col], pairs[b_col]):
+        for v in (a, b):
+            if v not in parent:
+                parent[v] = v
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by canonical order: smaller id becomes the root, so
+            # the component root IS the minimum id
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+
+    ids = sorted(parent)
+    canon = [find(i) for i in ids]
+    return pd.DataFrame({
+        "id": ids,
+        "canonical_id": canon,
+        "keep": [i == c for i, c in zip(ids, canon)],
+    })
+
+
 def minhash_lsh_pairs(
     ds: "ray.data.Dataset", *, id_col: str = "doc_id", text_col: str = "text",
     threshold: float = 0.6, n_docs_hint: int | None = None,

@@ -700,3 +700,48 @@ def test_pack_greedy_empty_and_oversized():
     assert pack_greedy(np.empty(0, dtype=np.int64), 10).tolist() == []
     # every doc over budget: one bin each
     assert pack_greedy(np.array([50, 70, 60]), 10).tolist() == [0, 1, 2]
+
+
+def test_dup_groups_union_find():
+    from pipeline.extras.dedup import dup_groups
+
+    # components: {1,2,3,9} via chain, {5,7}; 42 not listed (no pair)
+    pairs = pd.DataFrame({"a": [2, 1, 3, 5], "b": [3, 2, 9, 7]})
+    out = dup_groups(pairs)
+    got = dict(zip(out["id"], out["canonical_id"]))
+    assert got == {1: 1, 2: 1, 3: 1, 9: 1, 5: 5, 7: 5}
+    keep = dict(zip(out["id"], out["keep"]))
+    assert keep == {1: True, 2: False, 3: False, 9: False, 5: True, 7: False}
+    # order of pair arrival must not change canonicals
+    out2 = dup_groups(pairs.iloc[::-1].reset_index(drop=True))
+    assert dict(zip(out2["id"], out2["canonical_id"])) == got
+
+
+def test_hll_distinct_by_key_accuracy():
+    import ray.data as rd
+
+    from pipeline.extras.corpusstats import hll_distinct_by_key
+
+    rng = np.random.default_rng(11)
+    n_a, n_b = 5000, 800
+    df = pd.DataFrame({
+        "k": ["a"] * (n_a * 2) + ["b"] * (n_b * 3),
+        "v": np.concatenate([
+            np.tile(np.arange(n_a, dtype=np.int64), 2),
+            np.tile(np.arange(100000, 100000 + n_b, dtype=np.int64), 3),
+        ]),
+    }).sample(frac=1.0, random_state=0).reset_index(drop=True)
+    out = hll_distinct_by_key(rd.from_pandas(df).repartition(6), "k", "v")
+    est = dict(zip(out["k"], out["n_distinct_est"]))
+    assert abs(est["a"] - n_a) / n_a < 0.05
+    assert abs(est["b"] - n_b) / n_b < 0.05
+
+
+def test_weyl_hash_equidistribution():
+    from pipeline.extras.mixing import sample_mask
+
+    ids = np.arange(10000, dtype=np.int64)
+    for rate in (0.1, 0.5, 0.9):
+        frac = sample_mask(ids, np.full(len(ids), rate)).mean()
+        # golden-ratio Weyl discrepancy on consecutive ids is O(log n / n)
+        assert abs(frac - rate) < 0.01, (rate, frac)
