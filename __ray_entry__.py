@@ -1150,8 +1150,9 @@ def _docs_weighted_sample(sf_dir: str) -> pd.DataFrame:
 def _doc_pack_bins(sf_dir: str) -> pd.DataFrame:
     """Greedy sequence packing (budget 512 whitespace tokens) per
     source in doc_id order; per-source bins/docs/tokens/fill report.
-    No SQL oracle — first-fit packing needs a sequential scan (bin
-    boundary resets) that ANSI SQL can't express without recursion;
+    Oracle-checked: first-fit packing is a sequential scan with bin-
+    boundary resets, expressed in SQL as a recursive CTE advancing every
+    source one row per iteration (all sources recurse in parallel);
     reference-loop equivalence + fill-bound property tests in
     tests/test_extras.py."""
     from pipeline.extras.mixing import pack_bins, pack_summary
@@ -1486,6 +1487,37 @@ def oracle_sql() -> dict[str, str]:
                    quantile_disc(n_chars, 0.90) AS p90,
                    quantile_disc(n_chars, 0.99) AS p99
             FROM documents
+        """,
+        "doc_pack_bins": """
+            WITH RECURSIVE toks AS (
+                SELECT source, doc_id,
+                       length(string_split(trim(text), ' ')) AS n_tok
+                FROM documents
+            ), ordered AS (
+                SELECT source, doc_id, n_tok,
+                       row_number() OVER (
+                           PARTITION BY source ORDER BY doc_id
+                       ) AS rn
+                FROM toks
+            ), rec AS (
+                SELECT source, doc_id, rn, n_tok, 0 AS bin_id, n_tok AS run
+                FROM ordered WHERE rn = 1
+                UNION ALL
+                SELECT o.source, o.doc_id, o.rn, o.n_tok,
+                       CASE WHEN r.run + o.n_tok > 512
+                            THEN r.bin_id + 1 ELSE r.bin_id END,
+                       CASE WHEN r.run + o.n_tok > 512
+                            THEN o.n_tok ELSE r.run + o.n_tok END
+                FROM rec r
+                JOIN ordered o ON o.source = r.source AND o.rn = r.rn + 1
+            )
+            SELECT source,
+                   CAST(count(DISTINCT bin_id) AS BIGINT) AS n_bins,
+                   count(*) AS n_docs,
+                   CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+                   round(sum(n_tok) / (count(DISTINCT bin_id) * 512.0), 4)
+                       AS mean_fill
+            FROM rec GROUP BY source ORDER BY source
         """,
         "doc_blocklist": """
             WITH h AS (
