@@ -1088,6 +1088,56 @@ def _decontaminate_ngrams(sf_dir: str) -> pd.DataFrame:
     return df
 
 
+def _doc_line_dedup(sf_dir: str) -> pd.DataFrame:
+    """Corpus-level line dedup / boilerplate removal
+    (pipeline/extras/paragraphs.py): lines occurring in >= 3 distinct
+    docs are stripped from every doc.  The synthetic corpus is
+    single-line, so the query first re-chunks each doc into 3-word lines
+    with ONE RE2 global replace that DuckDB's regexp_replace reproduces
+    bit-for-bit — both engines then split/count/remove the same lines,
+    making the whole pass oracle-exact.  Count pass is a per-batch
+    (line, doc)-distinct combiner; removal is map-only against the
+    broadcast hot set."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from pipeline.extras.paragraphs import (
+        chunk_words_stage, hot_lines, remove_lines,
+    )
+
+    def _chunked():
+        ds = _read(
+            f"{sf_dir}/documents.parquet", columns=["source", "text"]
+        )
+        return ds.map_batches(
+            chunk_words_stage, batch_format="pyarrow", zero_copy_batch=True,
+        )
+
+    hot = hot_lines(_chunked(), min_chars=8, min_doc_freq=3)
+    cleaned = remove_lines(_chunked(), hot)
+
+    def stats(t: pa.Table) -> pa.Table:
+        changed = pc.cast(pc.greater(t["n_lines_removed"], 0), pa.int64())
+        return pa.table({
+            "source": t["source"],
+            "n_lines_removed": t["n_lines_removed"],
+            "changed": changed,
+        })
+
+    out = (
+        cleaned.map_batches(stats, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("source")
+        .aggregate(
+            Sum("n_lines_removed", alias_name="n_lines_removed"),
+            Sum("changed", alias_name="n_docs_changed"),
+        )
+    )
+    df = out.to_pandas().sort_values("source").reset_index(drop=True)
+    df["n_lines_removed"] = df["n_lines_removed"].astype("int64")
+    df["n_docs_changed"] = df["n_docs_changed"].astype("int64")
+    return df
+
+
 def _doc_blocklist(sf_dir: str) -> pd.DataFrame:
     """Toxicity/blocklist gate (stand-in wordlist — see
     pipeline/quality/blocklist.py): per-source flagged-doc count and
@@ -1226,6 +1276,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_weighted_sample": _docs_weighted_sample,
         "doc_pack_bins": _doc_pack_bins,
         "doc_blocklist": _doc_blocklist,
+        "doc_line_dedup": _doc_line_dedup,
     }
 
 
@@ -1542,6 +1593,31 @@ def oracle_sql() -> dict[str, str]:
                              THEN 0.5 ELSE 0.2 END * 2147483647
                     ) AS BIGINT)
             GROUP BY source ORDER BY source
+        """,
+        "doc_line_dedup": r"""
+            WITH chunked AS (
+                SELECT doc_id, source,
+                       regexp_replace(text, '((?:\S+ ){2}\S+) ',
+                                      '\1' || chr(10), 'g') AS t
+                FROM documents
+            ), lines AS (
+                SELECT doc_id, source,
+                       unnest(string_split(t, chr(10))) AS line
+                FROM chunked
+            ), hot AS (
+                SELECT line FROM lines WHERE length(line) >= 8
+                GROUP BY line HAVING count(DISTINCT doc_id) >= 3
+            ), per_doc AS (
+                SELECT l.doc_id, l.source,
+                       count(*) FILTER (WHERE h.line IS NOT NULL) AS n_rm
+                FROM lines l LEFT JOIN hot h USING (line)
+                GROUP BY l.doc_id, l.source
+            )
+            SELECT source,
+                   CAST(sum(n_rm) AS BIGINT) AS n_lines_removed,
+                   CAST(sum(CASE WHEN n_rm > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_docs_changed
+            FROM per_doc GROUP BY source ORDER BY source
         """,
         "decontaminate_snippets": """
             WITH bench AS (

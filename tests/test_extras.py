@@ -745,3 +745,78 @@ def test_weyl_hash_equidistribution():
         frac = sample_mask(ids, np.full(len(ids), rate)).mean()
         # golden-ratio Weyl discrepancy on consecutive ids is O(log n / n)
         assert abs(frac - rate) < 0.01, (rate, frac)
+
+
+# ------------------------------------------------- line dedup (boilerplate)
+
+def test_line_dedup_removes_hot_lines():
+    import ray.data as rd
+
+    from pipeline.extras.paragraphs import line_dedup
+
+    banner = "SPDX-License-Identifier: MIT"
+    footer = "generated by tool v1"
+    docs = pd.DataFrame({
+        "doc_id": np.arange(6, dtype=np.int64),
+        "text": [
+            f"{banner}\nunique body zero\n{footer}",
+            f"{banner}\nunique body one",
+            f"{banner}\nunique body two\n{footer}",
+            f"unique body three\n{footer}",
+            "unique body four",
+            f"{banner}\n{footer}",  # all lines hot -> becomes ''
+        ],
+    })
+    out = line_dedup(
+        rd.from_pandas(docs).repartition(3), min_chars=8, min_doc_freq=3,
+    ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert out["text_clean"].tolist() == [
+        "unique body zero", "unique body one", "unique body two",
+        "unique body three", "unique body four", "",
+    ]
+    assert out["n_lines_removed"].tolist() == [2, 1, 2, 1, 0, 2]
+
+
+def test_line_dedup_min_chars_gate_and_doc_local_repeats():
+    import ray.data as rd
+
+    from pipeline.extras.paragraphs import hot_lines, remove_lines
+
+    # "ok" is short (<8 chars) and repeats everywhere -> never hot;
+    # "repeated inside one doc" repeats WITHIN one doc only -> doc
+    # frequency 1, never hot.
+    docs = pd.DataFrame({
+        "doc_id": np.arange(4, dtype=np.int64),
+        "text": [
+            "ok\nrepeated inside one doc\nrepeated inside one doc",
+            "ok\nbody b",
+            "ok\nbody c",
+            "ok\nbody d",
+        ],
+    })
+    ds = rd.from_pandas(docs)
+    hot = hot_lines(ds, min_chars=8, min_doc_freq=2)
+    assert hot.to_pylist() == []
+    out = remove_lines(ds, hot).to_pandas()
+    assert (out["n_lines_removed"] == 0).all()
+    assert out["text_clean"].tolist() == docs["text"].tolist()
+
+
+def test_chunk_words_stage_matches_duckdb():
+    import duckdb
+
+    from pipeline.extras.paragraphs import chunk_words_stage
+
+    texts = ["w1 w2 w3 w4 w5 w6 w7", "x y", "lone", "a b c"]
+    t = pa.table({"text": texts})
+    got = chunk_words_stage(t, words_per_line=3)["text"].to_pylist()
+    con = duckdb.connect()
+    want = [
+        con.execute(
+            r"SELECT regexp_replace(?, '((?:\S+ ){2}\S+) ',"
+            r" '\1' || chr(10), 'g')", [s],
+        ).fetchone()[0]
+        for s in texts
+    ]
+    assert got == want
+    assert got[0] == "w1 w2 w3\nw4 w5 w6\nw7"
