@@ -1138,6 +1138,53 @@ def _doc_line_dedup(sf_dir: str) -> pd.DataFrame:
     return df
 
 
+def _doc_normalize(sf_dir: str) -> pd.DataFrame:
+    """Unicode normalization (pipeline/quality/normalize.py): the corpus
+    is clean ASCII, so the query first MANGLES it deterministically
+    (doc_id%3 selects decomposed accents / NBSP spaces / tab+edge
+    spaces — the same scalar expressions in both engines), then runs the
+    NFC + control-strip + space-fold + collapse + trim chain and
+    compares md5/length of the result per row.  Map-only; NFC rides an
+    ASCII prescreen so only mangled rows pay the per-row normalize."""
+    import pyarrow.compute as pc
+
+    from pipeline.extras.textstats import content_md5_stage
+    from pipeline.quality.normalize import normalize_stage
+
+    def mangle(t: pa.Table) -> pa.Table:
+        text = t["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        r = ids % 3
+        v0 = pc.replace_substring(text, "er", "e\u0301r")  # decomposed acute
+        v1 = pc.replace_substring(text, " ", "\u00a0")  # NBSP
+        v2 = pc.replace_substring_regex(
+            pc.replace_substring_regex(text, "^", "\t "), "$", "  "
+        )
+        chosen = pc.if_else(
+            pa.array(r == 0), v0, pc.if_else(pa.array(r == 1), v1, v2)
+        )
+        return t.set_column(t.column_names.index("text"), "text", chosen)
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = content_md5_stage(t, text_col="text", out_col="text_md5")
+        n = pc.cast(pc.utf8_length(t["text"]), pa.int64())
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "text_md5": t["text_md5"],
+            "n_chars_norm": n,
+        })
+
+    ds = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = (
+        ds.map_batches(mangle, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(normalize_stage, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
 def _doc_blocklist(sf_dir: str) -> pd.DataFrame:
     """Toxicity/blocklist gate (stand-in wordlist — see
     pipeline/quality/blocklist.py): per-source flagged-doc count and
@@ -1277,7 +1324,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_pack_bins": _doc_pack_bins,
         "doc_blocklist": _doc_blocklist,
         "doc_line_dedup": _doc_line_dedup,
+        "doc_normalize": _doc_normalize,
     }
+
+
+def _normalize_oracle() -> str:
+    """doc_normalize oracle: the mangle CASE mirrors _doc_normalize's
+    mangle stage; the normalization expression comes from the SAME
+    module constant the engine stage uses (normalize_sql_expr), so the
+    two can't drift."""
+    from pipeline.quality.normalize import normalize_sql_expr
+
+    return f"""
+        WITH mangled AS (
+            SELECT doc_id,
+                   CASE CAST(doc_id % 3 AS INTEGER)
+                     WHEN 0 THEN replace(text, 'er', 'e' || chr(769) || 'r')
+                     WHEN 1 THEN replace(text, ' ', chr(160))
+                     ELSE chr(9) || ' ' || text || '  '
+                   END AS t
+            FROM documents
+        ), normed AS (
+            SELECT doc_id, {normalize_sql_expr('t')} AS n FROM mangled
+        )
+        SELECT doc_id, md5(n) AS text_md5,
+               CAST(length(n) AS BIGINT) AS n_chars_norm
+        FROM normed ORDER BY doc_id
+    """
+
+
+_NORMALIZE_ORACLE = _normalize_oracle()
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1619,6 +1695,7 @@ def oracle_sql() -> dict[str, str]:
                        AS n_docs_changed
             FROM per_doc GROUP BY source ORDER BY source
         """,
+        "doc_normalize": _NORMALIZE_ORACLE,
         "decontaminate_snippets": """
             WITH bench AS (
                 SELECT substr(text, 1, 120) AS snip

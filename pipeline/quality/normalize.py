@@ -1,0 +1,94 @@
+"""Unicode text normalization — the canonicalization pass every
+LLM-corpus pipeline runs before hashing/dedup/tokenization (NFC so
+visually-identical strings hash identically, control-char strip,
+unicode-space folding, whitespace collapse + trim).
+
+Reference scope note: the reference engine normalizes nothing (its
+synthetic generator emits clean ASCII); this is a charter
+"training-data pipeline" addition.
+
+Whitespace/control steps are single vectorized RE2 kernels; NFC runs
+behind a vectorized ASCII prescreen (``string_is_ascii`` — ASCII is
+NFC-invariant, and code corpora are overwhelmingly ASCII) so the
+per-row ``unicodedata.normalize`` call touches only the non-ASCII tail,
+the same prescreen shape as the PII scrubber.  The container's pyarrow
+(16.1) ships ``utf8_normalize`` as a silent NO-OP (built without
+utf8proc) — do not "simplify" back to it.  DuckDB exposes the same
+primitives (``nfc_normalize`` + RE2 ``regexp_replace``), so the full
+chain is oracle-checkable bit-for-bit; the regex strings below are
+evaluated verbatim by both engines.
+
+Step order matters and is part of the contract:
+NFC -> control strip -> unicode spaces to ASCII space -> collapse
+runs of space/tab -> trim leading/trailing spaces.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# RE2 patterns, valid verbatim in Arrow and DuckDB (standard SQL strings
+# pass the backslashes through; RE2 interprets the escapes).
+CONTROL_CHARS = r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]"
+UNICODE_SPACES = r"[\x{00A0}\x{1680}\x{2000}-\x{200A}\x{202F}\x{205F}\x{3000}]"
+SPACE_RUNS = r"[ \t]+"
+EDGE_SPACES = r"^[ ]+|[ ]+$"
+
+
+def _nfc(arr) -> pa.Array:
+    """NFC with an ASCII fast path: ASCII rows pass through untouched
+    (zero-copy take-back), only non-ASCII rows pay the per-row
+    unicodedata call."""
+    import unicodedata
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    ascii_mask = pc.string_is_ascii(arr)
+    if pc.all(ascii_mask).as_py() in (True, None):  # None: empty array
+        return arr
+    non_ascii = pc.invert(ascii_mask)
+    fixed = pa.array(
+        [unicodedata.normalize("NFC", s) if s is not None else None
+         for s in arr.filter(non_ascii).to_pylist()],
+        pa.string(),
+    )
+    # nulls in the mask (null rows) stay untouched
+    return pc.replace_with_mask(
+        arr, pc.fill_null(non_ascii, False), fixed
+    )
+
+
+def normalize_text_array(arr) -> pa.Array:
+    """The normalization chain on a string array."""
+    out = _nfc(arr)
+    out = pc.replace_substring_regex(out, CONTROL_CHARS, "")
+    out = pc.replace_substring_regex(out, UNICODE_SPACES, " ")
+    out = pc.replace_substring_regex(out, SPACE_RUNS, " ")
+    out = pc.replace_substring_regex(out, EDGE_SPACES, "")
+    return out
+
+
+def normalize_sql_expr(col: str) -> str:
+    """The identical chain as a DuckDB scalar expression over ``col`` —
+    keep in lockstep with normalize_text_array."""
+    return (
+        "regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+        f"nfc_normalize({col}), "
+        f"'{CONTROL_CHARS}', '', 'g'), "
+        f"'{UNICODE_SPACES}', ' ', 'g'), "
+        f"'{SPACE_RUNS}', ' ', 'g'), "
+        f"'{EDGE_SPACES}', '', 'g')"
+    )
+
+
+def normalize_stage(
+    batch: pa.Table, *, text_col: str = "text", out_col: str | None = None,
+) -> pa.Table:
+    """Map-batches stage: normalized text written to ``out_col``
+    (defaults to in-place)."""
+    norm = normalize_text_array(batch[text_col])
+    dst = out_col or text_col
+    if dst in batch.column_names:
+        return batch.set_column(batch.column_names.index(dst), dst, norm)
+    return batch.append_column(dst, norm)

@@ -232,3 +232,57 @@ def test_blocklist_score_and_scrub_match_duckdb():
     assert scored["n_blocked"][2].as_py() == 0
     # case-sensitive by construction
     assert scored["n_blocked"][1].as_py() == 0
+
+
+# ------------------------------------------------ unicode normalization
+
+def test_normalize_matches_duckdb_bitwise():
+    import duckdb
+    import pyarrow as pa
+
+    from pipeline.quality.normalize import (
+        normalize_sql_expr, normalize_text_array,
+    )
+
+    tricky = [
+        "ér ok",            # decomposed acute -> NFC composes
+        "café",              # already composed: unchanged
+        "Å ring",     # combining ring + NBSP
+        "  x\t\ty  ",            # edge + run collapse
+        "ctl\x01\x02z",          # control strip
+        "mix　  w",     # ideographic + em space
+        "", "plain ascii",
+    ]
+    got = normalize_text_array(pa.array(tricky)).to_pylist()
+    con = duckdb.connect()
+    want = [
+        con.execute("SELECT " + normalize_sql_expr("?"), [s]).fetchone()[0]
+        for s in tricky
+    ]
+    assert got == want
+
+
+def test_normalize_idempotent_and_null_safe():
+    import pyarrow as pa
+
+    from pipeline.quality.normalize import normalize_text_array
+
+    arr = pa.array(["ér  x ", None, " a ", "ok"])
+    once = normalize_text_array(arr)
+    twice = normalize_text_array(once)
+    assert once.to_pylist() == twice.to_pylist()
+    assert once.to_pylist()[1] is None
+    assert once.to_pylist() == ["ér x", None, "a", "ok"]
+
+
+def test_normalize_ascii_fast_path_passthrough():
+    """ASCII input must not round-trip through Python (the prescreen
+    returns the input buffers); also guards the pyarrow-16 utf8_normalize
+    no-op trap — we never call it."""
+    import pyarrow as pa
+
+    from pipeline.quality.normalize import _nfc
+
+    arr = pa.array(["plain", "ascii only", ""])
+    out = _nfc(arr)
+    assert out is arr
