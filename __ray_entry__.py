@@ -1244,6 +1244,22 @@ def _docs_weighted_sample(sf_dir: str) -> pd.DataFrame:
     return out.to_pandas().sort_values("source").reset_index(drop=True)
 
 
+def _docs_sample_k(sf_dir: str) -> pd.DataFrame:
+    """Exact-size-k deterministic uniform sample (reservoir replacement,
+    pipeline/extras/mixing.py): k smallest Weyl-hashed ids win globally;
+    per-batch partial top-k, tiny driver merge.  SQL-reproducible
+    ordering key, so the oracle is the literal ORDER BY ... LIMIT k."""
+    from pipeline.extras.mixing import sample_exact_k
+
+    ds = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "source"])
+    out = sample_exact_k(ds, id_col="doc_id", k=100, seed=7)
+    return (
+        out[["doc_id", "source"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
 def _doc_pack_bins(sf_dir: str) -> pd.DataFrame:
     """Greedy sequence packing (budget 512 whitespace tokens) per
     source in doc_id order; per-source bins/docs/tokens/fill report.
@@ -1325,6 +1341,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_blocklist": _doc_blocklist,
         "doc_line_dedup": _doc_line_dedup,
         "doc_normalize": _doc_normalize,
+        "docs_sample_k": _docs_sample_k,
     }
 
 
@@ -1696,6 +1713,14 @@ def oracle_sql() -> dict[str, str]:
             FROM per_doc GROUP BY source ORDER BY source
         """,
         "doc_normalize": _NORMALIZE_ORACLE,
+        "docs_sample_k": """
+            SELECT doc_id, source FROM (
+                SELECT doc_id, source FROM documents
+                ORDER BY (((doc_id + 7) % 2147483647) * 1327217884)
+                         % 2147483647, doc_id
+                LIMIT 100
+            ) ORDER BY doc_id
+        """,
         "decontaminate_snippets": """
             WITH bench AS (
                 SELECT substr(text, 1, 120) AS snip

@@ -70,6 +70,42 @@ def weighted_sample(
     return ds.map_batches(stage, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def sample_order_sql_expr(col: str, seed: int = 0) -> str:
+    """The ANSI-SQL mirror of the exact-k sample's ordering key."""
+    return f"((({col} + {seed}) % {_WEYL_M}) * {_WEYL_A}) % {_WEYL_M}"
+
+
+def sample_exact_k(
+    ds: "ray.data.Dataset", *, id_col: str, k: int, seed: int = 0,
+    cols: list[str] | None = None,
+) -> pd.DataFrame:
+    """Deterministic exact-size-k uniform sample (the reservoir-sampling
+    replacement that is re-runnable and SQL-verifiable): the k rows with
+    the smallest Weyl-hashed ids win, globally.  One streaming pass —
+    each batch emits only its own k smallest candidates (argpartition),
+    the driver merges <= k * n_batches tiny partials.  Unlike a true
+    reservoir it needs no sequential state, so it parallelizes freely
+    and the sample is identical across cluster sizes and run orders.
+    Equals ``ORDER BY ((id+seed)%M)*A%M, id LIMIT k`` in SQL."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        if cols is not None:
+            t = t.select(list(dict.fromkeys([id_col] + cols)))
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = weyl_hash(ids + np.int64(seed))
+        if len(h) > k:
+            sel = np.sort(np.argpartition(h, k - 1)[:k])
+            t = t.take(pa.array(sel))
+            h = h[sel]
+        return t.append_column("_h", pa.array(h))
+
+    parts = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True,
+    ).to_pandas()
+    out = parts.sort_values(["_h", id_col]).head(k)
+    return out.drop(columns=["_h"]).reset_index(drop=True)
+
+
 # ------------------------------------------------------ sequence packing
 
 def pack_greedy(tokens: np.ndarray, budget: int) -> np.ndarray:

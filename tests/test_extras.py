@@ -820,3 +820,32 @@ def test_chunk_words_stage_matches_duckdb():
     ]
     assert got == want
     assert got[0] == "w1 w2 w3\nw4 w5 w6\nw7"
+
+
+# ----------------------------------------------------- exact-k sampling
+
+def test_sample_exact_k_matches_global_order_and_partitioning():
+    import ray.data as rd
+
+    from pipeline.extras.mixing import sample_exact_k, weyl_hash
+
+    ids = np.arange(1000, dtype=np.int64)
+    df = pd.DataFrame({"doc_id": ids, "v": ids * 2})
+    want_ids = ids[np.argsort(weyl_hash(ids + 7), kind="stable")][:50]
+    for nparts in (1, 7):
+        out = sample_exact_k(
+            rd.from_pandas(df).repartition(nparts), id_col="doc_id",
+            k=50, seed=7,
+        )
+        assert sorted(out["doc_id"]) == sorted(want_ids.tolist())
+        assert (out["v"] == out["doc_id"] * 2).all()
+
+
+def test_sample_exact_k_smaller_corpus_returns_all():
+    import ray.data as rd
+
+    from pipeline.extras.mixing import sample_exact_k
+
+    df = pd.DataFrame({"doc_id": np.arange(5, dtype=np.int64)})
+    out = sample_exact_k(rd.from_pandas(df), id_col="doc_id", k=50)
+    assert sorted(out["doc_id"]) == [0, 1, 2, 3, 4]
