@@ -1244,6 +1244,23 @@ def _docs_weighted_sample(sf_dir: str) -> pd.DataFrame:
     return out.to_pandas().sort_values("source").reset_index(drop=True)
 
 
+def _embedding_kmeans(sf_dir: str) -> pd.DataFrame:
+    """Distributed spherical k-means (pipeline/extras/clustering.py):
+    full-data Lloyd passes with broadcast centroids and O(blocks*k)
+    partial rows, then a per-cluster size/cohesion profile.  No SQL
+    oracle (iterative model fitting) — rows-only check; planted-cluster
+    recovery and partitioning invariance live in tests/test_extras.py."""
+    from pipeline.extras.clustering import cluster_profile, kmeans_fit
+
+    ds = _read(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    cent = kmeans_fit(ds, k=8, n_iter=4)
+    prof = cluster_profile(ds, cent)
+    prof["mean_cosine"] = _round_ha(prof["mean_cosine"], 4)
+    return prof.sort_values("cluster_id").reset_index(drop=True)
+
+
 def _docs_sample_k(sf_dir: str) -> pd.DataFrame:
     """Exact-size-k deterministic uniform sample (reservoir replacement,
     pipeline/extras/mixing.py): k smallest Weyl-hashed ids win globally;
@@ -1342,6 +1359,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_line_dedup": _doc_line_dedup,
         "doc_normalize": _doc_normalize,
         "docs_sample_k": _docs_sample_k,
+        "embedding_kmeans": _embedding_kmeans,
     }
 
 

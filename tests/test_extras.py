@@ -849,3 +849,62 @@ def test_sample_exact_k_smaller_corpus_returns_all():
     df = pd.DataFrame({"doc_id": np.arange(5, dtype=np.int64)})
     out = sample_exact_k(rd.from_pandas(df), id_col="doc_id", k=50)
     assert sorted(out["doc_id"]) == [0, 1, 2, 3, 4]
+
+
+# ------------------------------------------------- distributed k-means
+
+def _planted_clusters(n_per: int = 80, d: int = 16, k: int = 3):
+    rng = np.random.default_rng(5)
+    centers = rng.normal(size=(k, d)) * 10.0
+    vecs, labels = [], []
+    for c in range(k):
+        vecs.append(centers[c] + rng.normal(scale=0.05, size=(n_per, d)))
+        labels.extend([c] * n_per)
+    m = np.concatenate(vecs)
+    df = pd.DataFrame({
+        "vec_id": np.arange(len(m), dtype=np.int64),
+        "embedding": list(m.astype(np.float32)),
+        "label": np.array(labels, dtype=np.int32),
+    })
+    return df
+
+
+def test_kmeans_recovers_planted_clusters_any_partitioning():
+    import ray.data as rd
+
+    from pipeline.extras.clustering import kmeans_assign, kmeans_fit
+
+    df = _planted_clusters()
+    memberships = []
+    for nparts in (1, 6):
+        ds = rd.from_pandas(df).repartition(nparts)
+        cent = kmeans_fit(ds, k=3, n_iter=4, sample_limit=64)
+        out = kmeans_assign(ds, cent).to_pandas().sort_values("vec_id")
+        # every planted cluster maps to exactly one fitted cluster
+        tab = out.groupby(["label", "cluster_id"]).size().reset_index()
+        assert tab.groupby("label")["cluster_id"].count().eq(1).all()
+        assert out["cluster_id"].nunique() == 3
+        memberships.append(out["cluster_id"].to_numpy())
+    # membership is stable across partitionings on separated data
+    a, b = memberships
+    remap = {}
+    for x, y in zip(a, b):
+        remap.setdefault(x, y)
+        assert remap[x] == y
+
+
+def test_kmeans_empty_cluster_keeps_centroid_and_profile_sums():
+    import ray.data as rd
+
+    from pipeline.extras.clustering import cluster_profile, kmeans_fit
+
+    df = _planted_clusters(n_per=40, k=2)
+    ds = rd.from_pandas(df)
+    cent = kmeans_fit(ds, k=5, n_iter=3, sample_limit=32)
+    assert cent.shape == (5, 16)
+    assert np.isfinite(cent).all()
+    norms = np.linalg.norm(cent, axis=1)
+    assert np.allclose(norms, 1.0, atol=1e-9)
+    prof = cluster_profile(ds, cent)
+    assert prof["n_vecs"].sum() == len(df)
+    assert (prof["mean_cosine"] > 0.9).all()  # tight planted clusters
