@@ -1261,6 +1261,22 @@ def _embedding_kmeans(sf_dir: str) -> pd.DataFrame:
     return prof.sort_values("cluster_id").reset_index(drop=True)
 
 
+def _semantic_dedup(sf_dir: str) -> pd.DataFrame:
+    """SemDeDup keep-list (pipeline/extras/clustering.py): k-means
+    clusters -> within-cluster cosine pairs -> connected-component
+    canonicalization.  Threshold 0.4 because the fixture embeddings are
+    near-uniform on the sphere (same rationale as embedding_near_dups).
+    No SQL oracle (iterative fit + transitive closure) — rows-only;
+    planted-group recovery is unit-tested."""
+    from pipeline.extras.clustering import semantic_dedup
+
+    ds = _read(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    out = semantic_dedup(ds, threshold=0.4, k=8, n_iter=3)
+    return out.sort_values("id").reset_index(drop=True)
+
+
 def _docs_sample_k(sf_dir: str) -> pd.DataFrame:
     """Exact-size-k deterministic uniform sample (reservoir replacement,
     pipeline/extras/mixing.py): k smallest Weyl-hashed ids win globally;
@@ -1360,6 +1376,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_normalize": _doc_normalize,
         "docs_sample_k": _docs_sample_k,
         "embedding_kmeans": _embedding_kmeans,
+        "semantic_dedup": _semantic_dedup,
     }
 
 

@@ -136,6 +136,52 @@ def kmeans_assign(
     return ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def semantic_dedup(
+    ds: "ray.data.Dataset", *, threshold: float = 0.95, k: int = 16,
+    n_iter: int = 3, vec_col: str = "embedding", id_col: str = "vec_id",
+    sample_limit: int = 4096,
+) -> pd.DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup by
+    k-means clustering the embeddings, then finding cosine >= threshold
+    pairs WITHIN clusters only (per-group O(|cluster|^2) matmul, never
+    global O(n^2)), then reducing the bounded pair stream to a
+    connected-component keep-list ([[pipeline/extras/dedup.py]]
+    ``dup_groups`` — canonical = component-min id).
+
+    Near-identical vectors land in the same cluster by construction, so
+    the within-cluster scan loses only pairs straddling a cluster
+    boundary near the threshold (the standard SemDeDup trade; raise k's
+    quality with ``n_iter``/``sample_limit``, or use
+    ``ann.embedding_near_dup_pairs``'s multi-probe for boundary recall).
+    Returns (id, canonical_id, keep); docs in no pair are implicitly
+    kept."""
+    from pipeline.extras.ann import MAX_EMB_BUCKET
+    from pipeline.extras.dedup import dup_groups
+
+    cent = kmeans_fit(
+        ds, k=k, n_iter=n_iter, vec_col=vec_col, id_col=id_col,
+        sample_limit=sample_limit,
+    )
+    assigned = kmeans_assign(ds, cent, vec_col=vec_col)
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) > MAX_EMB_BUCKET:
+            g = g.sort_values(id_col).head(MAX_EMB_BUCKET)
+        ids = g[id_col].to_numpy().astype(np.int64)
+        m = _norm_rows(np.stack(g[vec_col].to_numpy()).astype(np.float64))
+        s = m @ m.T
+        iu, ju = np.nonzero(np.triu(s >= threshold, 1))
+        return pd.DataFrame({
+            "a": np.minimum(ids[iu], ids[ju]),
+            "b": np.maximum(ids[iu], ids[ju]),
+        })
+
+    pair_df = assigned.groupby("cluster_id").map_groups(
+        pairs, batch_format="pandas"
+    ).to_pandas()
+    return dup_groups(pair_df)
+
+
 def cluster_profile(
     ds: "ray.data.Dataset", centroids: np.ndarray, *,
     vec_col: str = "embedding", id_col: str = "vec_id",

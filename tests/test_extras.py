@@ -908,3 +908,32 @@ def test_kmeans_empty_cluster_keeps_centroid_and_profile_sums():
     prof = cluster_profile(ds, cent)
     assert prof["n_vecs"].sum() == len(df)
     assert (prof["mean_cosine"] > 0.9).all()  # tight planted clusters
+
+
+def test_semantic_dedup_planted_groups():
+    import ray.data as rd
+
+    from pipeline.extras.clustering import semantic_dedup
+
+    rng = np.random.default_rng(9)
+    base = rng.normal(size=(200, 12))
+    # plant 3 near-dup families: ids (500,501,502), (600,601), (700,701)
+    fams = {500: 3, 600: 2, 700: 2}
+    rows, ids = [base], [np.arange(200, dtype=np.int64)]
+    for start, n in fams.items():
+        proto = rng.normal(size=12)
+        rows.append(proto + rng.normal(scale=1e-3, size=(n, 12)))
+        ids.append(np.arange(start, start + n, dtype=np.int64))
+    m = np.concatenate(rows)
+    df = pd.DataFrame({
+        "vec_id": np.concatenate(ids),
+        "embedding": list(m.astype(np.float32)),
+    })
+    for nparts in (1, 5):
+        out = semantic_dedup(
+            rd.from_pandas(df).repartition(nparts), threshold=0.999,
+            k=4, n_iter=3, sample_limit=64,
+        ).sort_values("id").reset_index(drop=True)
+        assert out["id"].tolist() == [500, 501, 502, 600, 601, 700, 701]
+        assert out["canonical_id"].tolist() == [500, 500, 500, 600, 600, 700, 700]
+        assert out["keep"].tolist() == [True, False, False, True, False, True, False]
