@@ -1293,6 +1293,34 @@ def _docs_sample_k(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _docs_stratified_sample(sf_dir: str) -> pd.DataFrame:
+    """Per-source stratified sample (k docs per source, deterministic):
+    the Weyl sample hash as the per-key order + the existing two-phase
+    topn_per_key — per-batch trim, tiny reduce.  Oracle: row_number()
+    window over the identical integer hash expression."""
+    import pyarrow.compute as pc
+
+    from pipeline.extras.mixing import weyl_hash
+    from pipeline.partition import topn_per_key
+
+    def add_h(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column("_h", pa.array(weyl_hash(ids + 11)))
+
+    ds = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "source"])
+    out = topn_per_key(
+        ds.map_batches(add_h, batch_format="pyarrow", zero_copy_batch=True),
+        key="source", order_by=["_h", "doc_id"], ascending=[True, True],
+        n=5,
+    ).to_pandas()
+    out["rnk"] = out["rnk"].astype("int64")
+    return (
+        out[["source", "doc_id", "rnk"]]
+        .sort_values(["source", "rnk"])
+        .reset_index(drop=True)
+    )
+
+
 def _doc_pack_bins(sf_dir: str) -> pd.DataFrame:
     """Greedy sequence packing (budget 512 whitespace tokens) per
     source in doc_id order; per-source bins/docs/tokens/fill report.
@@ -1377,6 +1405,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_sample_k": _docs_sample_k,
         "embedding_kmeans": _embedding_kmeans,
         "semantic_dedup": _semantic_dedup,
+        "docs_stratified_sample": _docs_stratified_sample,
     }
 
 
@@ -1748,6 +1777,17 @@ def oracle_sql() -> dict[str, str]:
             FROM per_doc GROUP BY source ORDER BY source
         """,
         "doc_normalize": _NORMALIZE_ORACLE,
+        "docs_stratified_sample": """
+            SELECT source, doc_id, rnk FROM (
+                SELECT source, doc_id,
+                       row_number() OVER (
+                           PARTITION BY source
+                           ORDER BY (((doc_id + 11) % 2147483647)
+                                     * 1327217884) % 2147483647, doc_id
+                       ) AS rnk
+                FROM documents
+            ) WHERE rnk <= 5 ORDER BY source, rnk
+        """,
         "docs_sample_k": """
             SELECT doc_id, source FROM (
                 SELECT doc_id, source FROM documents
