@@ -802,17 +802,22 @@ def _customers_no_orders(sf_dir: str) -> pd.DataFrame:
     cust = _read(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
     )
-    okeys = (
+    okey_parts = (
         _read(
             f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
         )
         .filter(expr="o_totalprice > 400000")
-        .groupby("o_custkey")
-        .count()
-        .select_columns(["o_custkey"])
+        .map_batches(
+            # per-batch distinct combiner: only batch-unique keys leave
+            # the task, and the driver union replaces a sorted groupby
+            # shuffle (the matching key set must fit the driver anyway —
+            # it IS the broadcast side)
+            lambda t: pa.table({"o_custkey": pc.unique(t["o_custkey"])}),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
         .to_pandas()["o_custkey"].to_numpy()
     )
-    ref = _ray.put(pa.array(okeys))
+    ref = _ray.put(pa.array(np.unique(okey_parts)))
 
     def anti(batch: pa.Table) -> pa.Table:
         have = _ray.get(ref)
@@ -837,7 +842,14 @@ def _events_distinct_users(sf_dir: str) -> pd.DataFrame:
     ds = _read(
         f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
     )
-    pairs = ds.groupby(["event_type", "user_id"]).aggregate(Count(alias_name="_n"))
+    # per-batch distinct combiner: only batch-distinct pairs shuffle
+    batch_distinct = ds.map_batches(
+        lambda t: t.group_by(["event_type", "user_id"]).aggregate([]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    pairs = batch_distinct.groupby(["event_type", "user_id"]).aggregate(
+        Count(alias_name="_n")
+    )
     out = pairs.groupby("event_type").aggregate(Count(alias_name="n_users"))
     return out.to_pandas().sort_values("event_type").reset_index(drop=True)
 
