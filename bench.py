@@ -45,6 +45,8 @@ QUERY_NAMES = [
     "events_distinct_users_hll", "decontaminate_snippets",
     "decontaminate_ngrams", "docs_weighted_sample", "doc_pack_bins",
     "corpus_heavy_hitters", "doc_blocklist", "near_dup_groups",
+    "doc_line_dedup", "doc_normalize", "docs_sample_k",
+    "docs_stratified_sample", "embedding_kmeans", "semantic_dedup",
 ]
 
 
