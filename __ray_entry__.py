@@ -1305,6 +1305,29 @@ def _docs_sample_k(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _doc_tfidf_top(sf_dir: str) -> pd.DataFrame:
+    """Per-doc top TF-IDF keyword (pipeline/extras/corpusstats.py):
+    vocabulary+df to driver once, IDF broadcast, map-only scoring.
+    Uses the 'recip' variant — one float64 division of exact int64
+    products — because libm ln() is not bit-portable across engines but
+    IEEE division is; the oracle computes the identical expression."""
+    import pyarrow.parquet as pq
+
+    from pipeline.extras.corpusstats import tfidf_top_terms
+
+    path = f"{sf_dir}/documents.parquet"
+    n = pq.ParquetFile(path).metadata.num_rows
+    ds = _read(path, columns=["doc_id", "text"])
+    out = tfidf_top_terms(
+        ds, top_n=1, variant="recip", n_docs=n
+    ).to_pandas()
+    return (
+        out[["doc_id", "term", "score"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
 def _docs_stratified_sample(sf_dir: str) -> pd.DataFrame:
     """Per-source stratified sample (k docs per source, deterministic):
     the Weyl sample hash as the per-key order + the existing two-phase
@@ -1418,6 +1441,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_kmeans": _embedding_kmeans,
         "semantic_dedup": _semantic_dedup,
         "docs_stratified_sample": _docs_stratified_sample,
+        "doc_tfidf_top": _doc_tfidf_top,
     }
 
 
@@ -1789,6 +1813,34 @@ def oracle_sql() -> dict[str, str]:
             FROM per_doc GROUP BY source ORDER BY source
         """,
         "doc_normalize": _NORMALIZE_ORACLE,
+        "doc_tfidf_top": """
+            WITH w AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                FROM documents
+            ), wf AS (SELECT * FROM w WHERE term <> ''),
+            tf AS (
+                SELECT doc_id, term, count(*) AS cnt
+                FROM wf GROUP BY doc_id, term
+            ),
+            dl AS (SELECT doc_id, count(*) AS len FROM wf GROUP BY doc_id),
+            dfq AS (
+                SELECT term, count(DISTINCT doc_id) AS df
+                FROM wf GROUP BY term
+            ),
+            nn AS (SELECT count(*) AS n FROM documents),
+            scored AS (
+                SELECT t.doc_id, t.term,
+                       (t.cnt * (nn.n + 1)) * 1.0
+                           / (dl.len * (d.df + 1)) AS score
+                FROM tf t JOIN dl USING (doc_id) JOIN dfq d USING (term)
+                     CROSS JOIN nn
+            )
+            SELECT doc_id, term, score FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY doc_id ORDER BY score DESC, term
+                ) AS r FROM scored
+            ) WHERE r = 1 ORDER BY doc_id
+        """,
         "docs_stratified_sample": """
             SELECT source, doc_id, rnk FROM (
                 SELECT source, doc_id,

@@ -88,6 +88,75 @@ def term_freq(ds: "ray.data.Dataset", *, text_col: str = "text",
     return vocab
 
 
+def tfidf_top_terms(
+    ds: "ray.data.Dataset", *, text_col: str = "text",
+    id_col: str = "doc_id", top_n: int = 1, variant: str = "log",
+    n_docs: int | None = None,
+) -> "ray.data.Dataset":
+    """Per-document top-``top_n`` TF-IDF terms (keyword extraction /
+    topic signal for curation).  Two passes:
+
+    1. ``term_freq`` gives the vocabulary with document frequencies;
+       the vocabulary table comes to the driver (vocabulary-sized — the
+       same winners-fit contract as term_freq/top_k) and the IDF weights
+       broadcast ONCE via ray.put as (sorted terms, weights) arrays.
+    2. a map-only pass scores each doc's terms against the broadcast
+       weights (searchsorted lookup, no join shuffle) and keeps the
+       top_n per doc — output is O(top_n) rows per doc.
+
+    ``variant="log"`` is the classic smooth idf ln((N+1)/(df+1)) + 1.
+    ``variant="recip"`` scores cnt*(N+1) / (len*(df+1)) as ONE float64
+    division of exact int64 products — libm-free, so DuckDB reproduces
+    it bit-for-bit (IEEE division is correctly rounded; ln is
+    implementation-defined), which is what the oracle query uses.
+    Ties rank by term ascending (deterministic total order)."""
+    import ray as _ray
+
+    if n_docs is None:
+        n_docs = ds.count()
+    vocab = term_freq(ds, text_col=text_col).to_pandas()
+    vocab = vocab.sort_values("term").reset_index(drop=True)
+    terms = vocab["term"].to_numpy()
+    df_arr = vocab["n_docs"].to_numpy().astype(np.int64)
+    ref = _ray.put((terms, df_arr, int(n_docs), variant))
+
+    def score(batch: pa.Table) -> pa.Table:
+        vterms, vdf, n, var = _ray.get(ref)
+        toks = pc.split_pattern(batch[text_col], " ")
+        flat = pc.list_flatten(toks)
+        parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        d = pd.DataFrame({"term": flat.to_pandas(), "_p": parents})
+        d = d[d["term"] != ""]
+        g = d.groupby(["_p", "term"], sort=False).size().reset_index(name="cnt")
+        doc_len = d.groupby("_p", sort=False).size()
+        g["len"] = doc_len.loc[g["_p"]].to_numpy()
+        pos = np.searchsorted(vterms, g["term"].to_numpy())
+        g["df"] = vdf[pos]
+        if var == "recip":
+            g["score"] = (
+                (g["cnt"].to_numpy() * np.int64(n + 1)).astype(np.float64)
+                / (g["len"].to_numpy() * (g["df"].to_numpy() + 1)).astype(np.float64)
+            )
+        else:
+            idf = np.log((n + 1.0) / (g["df"].to_numpy() + 1.0)) + 1.0
+            g["score"] = g["cnt"].to_numpy() / g["len"].to_numpy() * idf
+        g = g.sort_values(["_p", "score", "term"],
+                          ascending=[True, False, True], kind="mergesort")
+        top = g.groupby("_p", sort=False).head(top_n).copy()
+        top["rnk"] = top.groupby("_p", sort=False).cumcount() + 1
+        return pa.table({
+            id_col: pa.array(ids[top["_p"].to_numpy()]),
+            "term": pa.array(top["term"].to_numpy(), pa.string()),
+            "score": pa.array(top["score"].to_numpy(), pa.float64()),
+            "rnk": pa.array(top["rnk"].to_numpy(), pa.int64()),
+        })
+
+    return ds.map_batches(
+        score, batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+
 # ---------------------------------------------------- heavy hitters (2p)
 
 def _local_topm(batch: pa.Table, *, text_col: str, m: int) -> pa.Table:

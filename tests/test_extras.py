@@ -937,3 +937,36 @@ def test_semantic_dedup_planted_groups():
         assert out["id"].tolist() == [500, 501, 502, 600, 601, 700, 701]
         assert out["canonical_id"].tolist() == [500, 500, 500, 600, 600, 700, 700]
         assert out["keep"].tolist() == [True, False, False, True, False, True, False]
+
+
+def test_tfidf_top_terms_recip_and_log():
+    import ray.data as rd
+
+    from pipeline.extras.corpusstats import tfidf_top_terms
+
+    # "rare" appears twice in one doc; "common" is in every doc.  (tf has
+    # to dominate too: with smooth idf ln((N+1)/(df+1))+1, a single "rare"
+    # among two "common" would lose — idf(common)=1.0, idf(rare)=1.92,
+    # 2/3*1.0 > 1/3*1.92.)
+    docs = pd.DataFrame({
+        "doc_id": np.arange(4, dtype=np.int64),
+        "text": [
+            "common rare rare",
+            "common common other",
+            "common other other",
+            "common filler words",
+        ],
+    })
+    for variant in ("recip", "log"):
+        out = tfidf_top_terms(
+            rd.from_pandas(docs).repartition(2), top_n=1, variant=variant,
+        ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        assert len(out) == 4
+        assert out.loc[0, "term"] == "rare"      # df=1 beats common (df=4)
+        assert (out["rnk"] == 1).all()
+        assert out.loc[0, "score"] > out.loc[1, "score"]
+    # recip scores are exact rationals: doc0 "rare" = 2*(4+1)/(3*(1+1))
+    out = tfidf_top_terms(
+        rd.from_pandas(docs), top_n=1, variant="recip",
+    ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert out.loc[0, "score"] == 10.0 / 6.0
