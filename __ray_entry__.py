@@ -1328,6 +1328,36 @@ def _doc_tfidf_top(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _corpus_bigrams(sf_dir: str) -> pd.DataFrame:
+    """Top-50 word bigrams, exact counts (corpusstats.bigram_counts):
+    vectorized same-doc adjacent-pair build + per-batch pre-count, so the
+    groupby moves batch-bigram-vocabulary rows, not the token stream."""
+    from pipeline.extras.corpusstats import bigram_counts
+
+    out = bigram_counts(
+        _read(f"{sf_dir}/documents.parquet", columns=["text"]), top_k=50
+    )
+    return out.to_pandas().reset_index(drop=True)
+
+
+def _doc_quality_filter(sf_dir: str) -> pd.DataFrame:
+    """Adaptive quality filter (the tier's namesake op, data-dependent
+    form): keep docs at/above the corpus p25 word count.  Pass 1 finds
+    the threshold by histogram-merge exact quantile (distinct values
+    shuffle); pass 2 is a stateless scalar-threshold filter map."""
+    from pipeline.extras.textstats import (
+        quality_stage, quantile_threshold_filter,
+    )
+
+    scored = _docs(sf_dir).map_batches(
+        quality_stage, batch_format="pyarrow", zero_copy_batch=True
+    ).select_columns(["doc_id", "n_words"])
+    kept, thr = quantile_threshold_filter(scored, col="n_words", q=0.25)
+    df = kept.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    df["threshold"] = np.int64(thr)
+    return df[["doc_id", "n_words", "threshold"]]
+
+
 def _docs_stratified_sample(sf_dir: str) -> pd.DataFrame:
     """Per-source stratified sample (k docs per source, deterministic):
     the Weyl sample hash as the per-key order + the existing two-phase
@@ -1442,6 +1472,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semantic_dedup": _semantic_dedup,
         "docs_stratified_sample": _docs_stratified_sample,
         "doc_tfidf_top": _doc_tfidf_top,
+        "corpus_bigrams": _corpus_bigrams,
+        "doc_quality_filter": _doc_quality_filter,
     }
 
 
@@ -1840,6 +1872,29 @@ def oracle_sql() -> dict[str, str]:
                     PARTITION BY doc_id ORDER BY score DESC, term
                 ) AS r FROM scored
             ) WHERE r = 1 ORDER BY doc_id
+        """,
+        "corpus_bigrams": """
+            WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+            p AS (
+                SELECT unnest(toks[1:len(toks)-1]) AS w1,
+                       unnest(toks[2:len(toks)]) AS w2
+                FROM t
+            )
+            SELECT w1 || ' ' || w2 AS bigram, count(*) AS n_occ
+            FROM p WHERE w1 <> '' AND w2 <> ''
+            GROUP BY bigram ORDER BY n_occ DESC, bigram LIMIT 50
+        """,
+        "doc_quality_filter": """
+            WITH s AS (
+                SELECT doc_id,
+                       CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                       END AS n_words
+                FROM documents
+            ),
+            th AS (SELECT quantile_disc(n_words, 0.25) AS t FROM s)
+            SELECT s.doc_id, s.n_words, th.t AS threshold
+            FROM s, th WHERE s.n_words >= th.t ORDER BY s.doc_id
         """,
         "docs_stratified_sample": """
             SELECT source, doc_id, rnk FROM (

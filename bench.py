@@ -47,6 +47,7 @@ QUERY_NAMES = [
     "corpus_heavy_hitters", "doc_blocklist", "near_dup_groups",
     "doc_line_dedup", "doc_normalize", "docs_sample_k",
     "docs_stratified_sample", "embedding_kmeans", "semantic_dedup",
+    "doc_tfidf_top", "corpus_bigrams", "doc_quality_filter",
 ]
 
 

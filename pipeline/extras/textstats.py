@@ -98,3 +98,39 @@ def quality_stage(batch: pa.Table, *, text_col: str = "text") -> pa.Table:
     batch = batch.append_column("punct_ratio", pa.array(punct_ratio))
     batch = batch.append_column("stopword_ratio", pa.array(stop_ratio))
     return batch.append_column("n_words", pa.array(n_ws.astype(np.int64)))
+
+
+def quantile_threshold_filter(
+    ds: "ray.data.Dataset", *, col: str, q: float = 0.25,
+    keep: str = "ge",
+) -> tuple["ray.data.Dataset", int]:
+    """Adaptive quality filter: keep rows whose integer signal ``col``
+    clears the corpus ``q``-quantile — the data-dependent cousin of a
+    fixed min-length / min-score threshold (the corpus decides its own
+    cutoff; re-runs stay calibrated as the corpus drifts).
+
+    Two streaming passes, no full materialization:
+
+    1. threshold: exact discrete quantile via the histogram-merge path
+       (``corpusstats.value_counts_quantiles`` — distinct values
+       shuffle, not rows; DuckDB ``quantile_disc`` rank semantics).
+    2. filter: a stateless map with the scalar threshold closed over —
+       nothing is broadcast, nothing shuffles.
+
+    Returns (filtered dataset, threshold). ``keep``: "ge" keeps
+    col >= threshold (floor filter), "le" keeps col <= threshold
+    (cap filter, e.g. drop the longest tail before packing)."""
+    from pipeline.extras.corpusstats import value_counts_quantiles
+
+    thr = value_counts_quantiles(ds, col, [q])[0]
+    if thr is None:
+        return ds, 0
+    thr = int(thr)
+    op = pc.greater_equal if keep == "ge" else pc.less_equal
+
+    def flt(t: pa.Table) -> pa.Table:
+        return t.filter(op(t[col], thr))
+
+    return ds.map_batches(
+        flt, batch_format="pyarrow", zero_copy_batch=True
+    ), thr

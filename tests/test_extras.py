@@ -970,3 +970,50 @@ def test_tfidf_top_terms_recip_and_log():
         rd.from_pandas(docs), top_n=1, variant="recip",
     ).to_pandas().sort_values("doc_id").reset_index(drop=True)
     assert out.loc[0, "score"] == 10.0 / 6.0
+
+
+def test_bigram_counts_adjacency_and_ties():
+    import ray.data as rd
+
+    from pipeline.extras.corpusstats import bigram_counts
+
+    docs = pd.DataFrame({
+        "doc_id": np.arange(3, dtype=np.int64),
+        # "b c" spans docs 0->1 only via the boundary — must NOT count;
+        # "a b" appears in docs 0 and 2 (count 2).
+        "text": ["a b", "c d", "a b  c"],  # double space -> empty token
+    })
+    out = bigram_counts(
+        rd.from_pandas(docs).repartition(2), top_k=10
+    ).to_pandas()
+    got = dict(zip(out["bigram"], out["n_occ"]))
+    assert got == {"a b": 2, "c d": 1}
+    # count-desc, bigram-asc deterministic order
+    assert out["bigram"].tolist() == ["a b", "c d"]
+
+
+def test_bigram_counts_single_word_docs():
+    import ray.data as rd
+
+    from pipeline.extras.corpusstats import bigram_counts
+
+    docs = pd.DataFrame({"doc_id": [0, 1], "text": ["solo", "alone"]})
+    out = bigram_counts(rd.from_pandas(docs), top_k=5).to_pandas()
+    assert len(out) == 0
+
+
+def test_quantile_threshold_filter():
+    import ray.data as rd
+
+    from pipeline.extras.textstats import quantile_threshold_filter
+
+    df = pd.DataFrame({"id": np.arange(8), "v": [1, 2, 3, 4, 5, 6, 7, 8]})
+    ds = rd.from_pandas(df).repartition(3)
+    kept, thr = quantile_threshold_filter(ds, col="v", q=0.25)
+    # quantile_disc(0.25) over 8 values = rank ceil(0.25*8)=2 -> value 2
+    assert thr == 2
+    got = sorted(kept.to_pandas()["v"].tolist())
+    assert got == [2, 3, 4, 5, 6, 7, 8]
+    capped, thr2 = quantile_threshold_filter(ds, col="v", q=0.5, keep="le")
+    assert thr2 == 4
+    assert sorted(capped.to_pandas()["v"].tolist()) == [1, 2, 3, 4]
