@@ -1358,6 +1358,46 @@ def _doc_quality_filter(sf_dir: str) -> pd.DataFrame:
     return df[["doc_id", "n_words", "threshold"]]
 
 
+def _doc_intra_dedup(sf_dir: str) -> pd.DataFrame:
+    """Intra-document repeated-line removal (keep first occurrence,
+    preserve order) — map-only, no shuffle (paragraphs.
+    dedup_lines_within_doc); the repetition-rewrite cousin of the
+    corpus-level doc_line_dedup.  2-word chunking maximizes duplicate
+    density on the synthetic word-soup corpus; the rebuilt text is
+    hash-compared against DuckDB's window-filtered string_agg rebuild."""
+    from pipeline.extras.paragraphs import (
+        chunk_words_stage, dedup_lines_within_doc,
+    )
+
+    ds = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = ds.map_batches(
+        lambda t: chunk_words_stage(t, words_per_line=2),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    out = dedup_lines_within_doc(ds)
+    df = out.select_columns(
+        ["doc_id", "text_clean", "n_lines_removed"]
+    ).to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+def _doc_zscore_by_source(sf_dir: str) -> pd.DataFrame:
+    """Per-source z-score calibration of doc length
+    (corpusstats.groupwise_zscore): exact int64 (n, sum, sumsq) moment
+    combiner -> tiny broadcast table -> map-only normalize.  Every
+    float op after the exact integer sums is one correctly-rounded IEEE
+    op, so the DuckDB oracle reproduces the doubles bit-for-bit."""
+    from pipeline.extras.corpusstats import groupwise_zscore
+
+    ds = _read(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "source", "n_chars"],
+    )
+    out = groupwise_zscore(ds, key_col="source", val_col="n_chars")
+    df = out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    return df[["doc_id", "source", "n_chars", "zscore"]]
+
+
 def _docs_stratified_sample(sf_dir: str) -> pd.DataFrame:
     """Per-source stratified sample (k docs per source, deterministic):
     the Weyl sample hash as the per-key order + the existing two-phase
@@ -1474,6 +1514,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_tfidf_top": _doc_tfidf_top,
         "corpus_bigrams": _corpus_bigrams,
         "doc_quality_filter": _doc_quality_filter,
+        "doc_intra_dedup": _doc_intra_dedup,
+        "doc_zscore_by_source": _doc_zscore_by_source,
     }
 
 
@@ -1895,6 +1937,50 @@ def oracle_sql() -> dict[str, str]:
             th AS (SELECT quantile_disc(n_words, 0.25) AS t FROM s)
             SELECT s.doc_id, s.n_words, th.t AS threshold
             FROM s, th WHERE s.n_words >= th.t ORDER BY s.doc_id
+        """,
+        "doc_intra_dedup": """
+            WITH chunked AS (
+                SELECT doc_id,
+                       regexp_replace(text, '((?:\\S+ ){1}\\S+) ',
+                                      '\\1' || chr(10), 'g') AS t
+                FROM documents
+            ), l AS (
+                SELECT doc_id, unnest(string_split(t, chr(10))) AS line,
+                       unnest(range(1, len(string_split(t, chr(10)))+1))
+                           AS ord
+                FROM chunked
+            ), f AS (
+                SELECT doc_id, line, ord,
+                       row_number() OVER (
+                           PARTITION BY doc_id, line ORDER BY ord
+                       ) AS rn
+                FROM l
+            )
+            SELECT doc_id,
+                   string_agg(line, chr(10) ORDER BY ord)
+                       FILTER (WHERE rn = 1) AS text_clean,
+                   CAST(count(*) FILTER (WHERE rn > 1) AS BIGINT)
+                       AS n_lines_removed
+            FROM f GROUP BY doc_id ORDER BY doc_id
+        """,
+        "doc_zscore_by_source": """
+            WITH m AS (
+                SELECT source, count(*) AS n,
+                       sum(n_chars) AS s, sum(n_chars * n_chars) AS s2
+                FROM documents GROUP BY source
+            )
+            SELECT d.doc_id, d.source, d.n_chars,
+                   CASE WHEN sqrt(greatest(
+                            m.s2::DOUBLE / m.n
+                            - (m.s::DOUBLE / m.n) * (m.s::DOUBLE / m.n),
+                            0.0)) > 0
+                        THEN (d.n_chars::DOUBLE - m.s::DOUBLE / m.n)
+                             / sqrt(greatest(
+                                 m.s2::DOUBLE / m.n
+                                 - (m.s::DOUBLE / m.n) * (m.s::DOUBLE / m.n),
+                                 0.0))
+                        ELSE 0.0 END AS zscore
+            FROM documents d JOIN m USING (source) ORDER BY d.doc_id
         """,
         "docs_stratified_sample": """
             SELECT source, doc_id, rnk FROM (

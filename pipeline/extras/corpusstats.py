@@ -448,3 +448,74 @@ def hll_distinct_by_key(ds: "ray.data.Dataset", key_col: str, col: str,
         .map_groups(merge, batch_format="pandas")
     )
     return out.to_pandas().sort_values(key_col).reset_index(drop=True)
+
+
+# ------------------------------------------------- group-wise normalize
+
+def groupwise_zscore(
+    ds: "ray.data.Dataset", *, key_col: str, val_col: str,
+    out_col: str = "zscore",
+) -> "ray.data.Dataset":
+    """Per-group z-score normalization of an INTEGER signal column —
+    calibrates a quality score across heterogeneous sources before a
+    single global threshold (each source's distribution maps to mean 0 /
+    sd 1, so no source dominates a cut just by being verbose).
+
+    Two passes:
+
+    1. moments: per-batch combiner emits per-key (n, sum, sumsq) int64
+       partials (exact — integer sums commute, no float accumulation
+       order issues); a |keys|-row groupby merges them and the tiny
+       moment table broadcasts once via ray.put.
+    2. normalize: map-only; each row computes
+       (x - sum/n) / sqrt(sumsq/n - (sum/n)^2) in float64.  Every
+       operation after the exact integer sums is a single correctly-
+       rounded IEEE op (cast, divide, multiply, subtract, sqrt), so SQL
+       engines reproduce the result bit-for-bit from the same
+       expression — no libm, no order-dependent float reduction.
+
+    Groups with zero variance emit 0.0 (not NaN/inf).  ``val_col`` must
+    be integer; sum/sumsq stay exact up to 2^63 (guarded)."""
+    import ray as _ray
+    from ray.data.aggregate import Sum
+
+    def moments(t: pa.Table) -> pa.Table:
+        v = t[val_col]
+        v2 = pc.multiply_checked(v, v)  # raises on int64 overflow
+        g = pa.table({key_col: t[key_col], "_s": v, "_s2": v2}).group_by(
+            key_col
+        ).aggregate([("_s", "sum"), ("_s2", "sum"), ([], "count_all")])
+        return pa.table({
+            key_col: g[key_col],
+            "n": pc.cast(g["count_all"], pa.int64()),
+            "s": pc.cast(g["_s_sum"], pa.int64()),
+            "s2": pc.cast(g["_s2_sum"], pa.int64()),
+        })
+
+    mom = (
+        ds.map_batches(moments, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(key_col)
+        .aggregate(Sum("n", alias_name="n"), Sum("s", alias_name="s"),
+                   Sum("s2", alias_name="s2"))
+        .to_pandas()
+        .sort_values(key_col)
+        .reset_index(drop=True)
+    )
+    keys = mom[key_col].to_numpy()
+    n = mom["n"].to_numpy().astype(np.float64)
+    mean = mom["s"].to_numpy().astype(np.float64) / n
+    var = mom["s2"].to_numpy().astype(np.float64) / n - mean * mean
+    sd = np.sqrt(np.maximum(var, 0.0))
+    ref = _ray.put((keys, mean, sd))
+
+    def normalize(t: pa.Table) -> pa.Table:
+        ks, mu, sg = _ray.get(ref)
+        pos = np.searchsorted(ks, t[key_col].to_numpy(zero_copy_only=False))
+        x = t[val_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        m, s = mu[pos], sg[pos]
+        z = np.divide(x - m, s, out=np.zeros_like(x), where=s > 0)
+        return t.append_column(out_col, pa.array(z, pa.float64()))
+
+    return ds.map_batches(
+        normalize, batch_format="pyarrow", zero_copy_batch=True
+    )

@@ -181,3 +181,40 @@ def line_dedup(
         ds, text_col=text_col, min_chars=min_chars, min_doc_freq=min_doc_freq
     )
     return remove_lines(ds, hot, text_col=text_col, out_col=out_col)
+
+
+def dedup_lines_within_doc(
+    ds: "ray.data.Dataset", *, text_col: str = "text",
+    out_col: str = "text_clean", removed_col: str = "n_lines_removed",
+) -> "ray.data.Dataset":
+    """INTRA-document repeated-line removal (keep the first occurrence,
+    preserve order) — the repetition-REWRITE cousin of the flagship's
+    repetition drop rule, and the local counterpart of corpus-level
+    ``line_dedup``.  Map-only, no shuffle, no state: each doc dedupes
+    against itself, so the corpus streams through one stage.
+
+    Appends ``out_col`` (rebuilt text) and ``removed_col`` (int64 count
+    of removed duplicate lines)."""
+
+    def scrub(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        flat, parent = _split_lines(t, text_col)
+        # first occurrence per (doc, line): vectorized C path
+        dup = pd.DataFrame(
+            {"p": parent, "l": flat.to_pandas()}
+        ).duplicated(["p", "l"]).to_numpy()
+        keep = ~dup
+        kept_vals = flat.filter(pa.array(keep))
+        cnt = np.zeros(len(t) + 1, dtype=np.int64)
+        np.add.at(cnt, parent[keep] + 1, 1)
+        offsets = np.cumsum(cnt)
+        la = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), kept_vals)
+        cleaned = pc.binary_join(la, "\n")
+        n_lines = np.zeros(len(t), dtype=np.int64)
+        np.add.at(n_lines, parent, 1)
+        removed = n_lines - np.diff(offsets)
+        t = t.append_column(out_col, cleaned)
+        return t.append_column(removed_col, pa.array(removed))
+
+    return ds.map_batches(scrub, batch_format="pyarrow", zero_copy_batch=True)

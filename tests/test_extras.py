@@ -1017,3 +1017,43 @@ def test_quantile_threshold_filter():
     capped, thr2 = quantile_threshold_filter(ds, col="v", q=0.5, keep="le")
     assert thr2 == 4
     assert sorted(capped.to_pandas()["v"].tolist()) == [1, 2, 3, 4]
+
+
+def test_dedup_lines_within_doc():
+    import ray.data as rd
+
+    from pipeline.extras.paragraphs import dedup_lines_within_doc
+
+    docs = pd.DataFrame({
+        "doc_id": np.arange(3, dtype=np.int64),
+        "text": [
+            "a\nb\na\nc\nb",      # dups of a and b -> a,b,c
+            "x\nx\nx",            # -> x
+            "unique\nlines",      # unchanged
+        ],
+    })
+    out = dedup_lines_within_doc(
+        rd.from_pandas(docs).repartition(2)
+    ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert out["text_clean"].tolist() == ["a\nb\nc", "x", "unique\nlines"]
+    assert out["n_lines_removed"].tolist() == [2, 2, 0]
+
+
+def test_groupwise_zscore():
+    import ray.data as rd
+
+    from pipeline.extras.corpusstats import groupwise_zscore
+
+    df = pd.DataFrame({
+        "k": ["a"] * 4 + ["b"] * 3,
+        "v": np.array([1, 2, 3, 4, 5, 5, 5], dtype=np.int64),
+    })
+    out = groupwise_zscore(
+        rd.from_pandas(df).repartition(3), key_col="k", val_col="v"
+    ).to_pandas()
+    a = out[out["k"] == "a"].sort_values("v")["zscore"].to_numpy()
+    # mean 2.5, sd sqrt(1.25)
+    exp = (np.array([1, 2, 3, 4], dtype=np.float64) - 2.5) / np.sqrt(1.25)
+    assert np.array_equal(a, exp)
+    # zero-variance group -> 0.0, not NaN
+    assert (out[out["k"] == "b"]["zscore"] == 0.0).all()
