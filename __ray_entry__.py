@@ -1345,13 +1345,24 @@ def _doc_quality_filter(sf_dir: str) -> pd.DataFrame:
     form): keep docs at/above the corpus p25 word count.  Pass 1 finds
     the threshold by histogram-merge exact quantile (distinct values
     shuffle); pass 2 is a stateless scalar-threshold filter map."""
-    from pipeline.extras.textstats import (
-        quality_stage, quantile_threshold_filter,
-    )
+    import pyarrow.compute as pc
+
+    from pipeline.extras.textstats import quantile_threshold_filter
+
+    def words_only(t: pa.Table) -> pa.Table:
+        # lean signal stage: just the vectorized word count — quality_stage
+        # also computes a per-row stopword loop the filter never reads,
+        # and this stage runs in BOTH passes (quantile + filter)
+        n = pc.count_substring_regex(
+            pc.utf8_trim_whitespace(t["text"]), r"\S+"
+        )
+        return pa.table(
+            {"doc_id": t["doc_id"], "n_words": pc.cast(n, pa.int64())}
+        )
 
     scored = _docs(sf_dir).map_batches(
-        quality_stage, batch_format="pyarrow", zero_copy_batch=True
-    ).select_columns(["doc_id", "n_words"])
+        words_only, batch_format="pyarrow", zero_copy_batch=True
+    )
     kept, thr = quantile_threshold_filter(scored, col="n_words", q=0.25)
     df = kept.to_pandas().sort_values("doc_id").reset_index(drop=True)
     df["threshold"] = np.int64(thr)
