@@ -419,6 +419,19 @@ def _ann_topk_ivf(sf_dir: str) -> pd.DataFrame:
     return df.sort_values(["query_id", "rank"]).reset_index(drop=True)
 
 
+def _ann_topk_lsh(sf_dir: str) -> pd.DataFrame:
+    """Random-hyperplane LSH approximate variant (data-independent scale
+    path: no centroid fit, no sample bias; multi-probe bit flips tune
+    recall at zero index-build cost; rows-only check — approximate by
+    design, recall vs brute force unit-tested)."""
+    from pipeline.extras.ann import lsh_topk
+
+    ds, queries, qids = _ann_queries(sf_dir)
+    df = lsh_topk(ds, queries, qids, k=ANN_K, nbits=6, nprobe=16)
+    df["score"] = _round_ha(df["score"], 4)
+    return df.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
 def _n_docs(sf_dir: str) -> int:
     """Exact doc count from parquet metadata (no Ray execution) — feeds
     the dedup size switches so they pick a regime without an extra
@@ -1527,6 +1540,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality_filter": _doc_quality_filter,
         "doc_intra_dedup": _doc_intra_dedup,
         "doc_zscore_by_source": _doc_zscore_by_source,
+        "ann_topk_lsh": _ann_topk_lsh,
     }
 
 

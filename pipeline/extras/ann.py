@@ -305,3 +305,82 @@ def embedding_near_dup_pairs(
     # a pair whose members share >1 probed bucket is found in each — same
     # cosine everywhere, keep one
     return out.drop_duplicates(["a", "b"]).reset_index(drop=True)
+
+
+def lsh_topk(
+    ds: "ray.data.Dataset", queries: np.ndarray, query_ids: list[int],
+    k: int = 10, *, nbits: int = 8, nprobe: int = 8,
+    id_col: str = "vec_id", vec_col: str = "embedding", seed: int = 42,
+) -> pd.DataFrame:
+    """Approximate top-k via random-hyperplane LSH (the data-independent
+    alternative to ivf_topk — no centroid fit, no training pass, so it
+    works on a cold corpus and never suffers sample bias).
+
+    Signature = sign bits of v against ``nbits`` seeded Gaussian
+    hyperplanes (2**nbits buckets).  Multi-probe: each query searches its
+    own bucket plus the buckets reached by flipping its lowest-|margin|
+    bits (the classic multi-probe LSH sequence, ordered by summed flipped
+    margin), ``nprobe`` buckets total — recall tunes with nprobe at zero
+    index-build cost.  Planes + probe sets broadcast once via ray.put;
+    each batch emits per-query partial top-k rows only.  Output schema
+    matches brute_force_topk."""
+    rng = np.random.RandomState(seed)
+    d = np.asarray(queries).shape[1]
+    planes = rng.standard_normal((nbits, d))
+    qn = _norm_rows(np.asarray(queries, dtype=np.float64))
+    margins = qn @ planes.T                    # n_q x nbits
+    qsig = (margins > 0).astype(np.uint32)
+    weights = np.uint32(1) << np.arange(nbits, dtype=np.uint32)
+
+    # multi-probe: enumerate flip-subsets of the m lowest-|margin| bits,
+    # ranked by summed |margin| of the flipped bits (cheapest flips first)
+    m = min(nbits, max(1, int(np.ceil(np.log2(max(nprobe, 2)))) + 1))
+    probe_sets: list[set[int]] = []
+    for qi in range(qn.shape[0]):
+        order = np.argsort(np.abs(margins[qi]))[:m]
+        cands = []
+        for mask in range(1 << m):
+            flip = [order[b] for b in range(m) if mask >> b & 1]
+            cost = float(np.abs(margins[qi])[flip].sum()) if flip else 0.0
+            sig = qsig[qi].copy()
+            sig[flip] ^= 1
+            cands.append((cost, int((sig * weights).sum())))
+        cands.sort()
+        probe_sets.append({s for _, s in cands[:nprobe]})
+    ref = ray.put((planes, qn, probe_sets))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        pl, q, probes = ray.get(ref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        mtx = _norm_rows(_to_matrix(batch[vec_col]))
+        bits = (mtx @ pl.T > 0).astype(np.uint32)
+        sigs = (bits * weights).sum(axis=1)
+        out_q, out_id, out_s = [], [], []
+        for qi in range(q.shape[0]):
+            mask = np.isin(sigs, list(probes[qi]))
+            if not mask.any():
+                continue
+            s = q[qi] @ mtx[mask].T
+            sub_ids = ids[mask]
+            sel = _topk_indices(s, sub_ids, min(k, len(s)))
+            out_q.extend([query_ids[qi]] * len(sel))
+            out_id.extend(sub_ids[sel].tolist())
+            out_s.extend(s[sel].tolist())
+        return pa.table(
+            {"query_id": pa.array(out_q, pa.int64()),
+             "vec_id": pa.array(out_id, pa.int64()),
+             "score": pa.array(out_s, pa.float64())}
+        )
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=4096, zero_copy_batch=True,
+    ).to_pandas()
+    out = []
+    for qid, g in partials.groupby("query_id"):
+        g = g.sort_values(["score", "vec_id"], ascending=[False, True]).head(k)
+        g = g.assign(rank=np.arange(1, len(g) + 1))
+        out.append(g)
+    if not out:
+        return pd.DataFrame(columns=["query_id", "vec_id", "score", "rank"])
+    res = pd.concat(out).reset_index(drop=True)
+    return res[["query_id", "vec_id", "score", "rank"]]

@@ -1057,3 +1057,45 @@ def test_groupwise_zscore():
     assert np.array_equal(a, exp)
     # zero-variance group -> 0.0, not NaN
     assert (out[out["k"] == "b"]["zscore"] == 0.0).all()
+
+
+def test_lsh_recall_vs_brute_force():
+    import ray.data as rd
+
+    from pipeline.extras.ann import brute_force_topk, lsh_topk
+
+    ds = rd.read_parquet(f"{SF}/embeddings.parquet")
+    df = ds.to_pandas()
+    queries = np.stack(df["embedding"].head(5).to_numpy()).astype(np.float64)
+    qids = list(range(5))
+    bf = brute_force_topk(ds, queries, qids, k=10)
+    # nprobe=8 of 16 buckets — same half-the-space proportion as the IVF
+    # recall test (the sf0.001 embeddings are unclustered random vectors,
+    # so any bucketing scheme needs a wide probe to recover true top-k)
+    lsh = lsh_topk(ds, queries, qids, k=10, nbits=4, nprobe=8)
+    recalls = []
+    for q in qids:
+        b = set(bf[bf["query_id"] == q]["vec_id"])
+        a = set(lsh[lsh["query_id"] == q]["vec_id"])
+        recalls.append(len(a & b) / len(b))
+    assert np.mean(recalls) >= 0.5, recalls
+    # the query's own bucket always contains the query vector -> the
+    # self-match (score 1.0) must always be found
+    for q in qids:
+        g = lsh[lsh["query_id"] == q].sort_values("rank")
+        assert g["vec_id"].iloc[0] == df["vec_id"].iloc[q]
+        assert abs(g["score"].iloc[0] - 1.0) < 1e-9
+
+
+def test_lsh_nprobe_monotone_recall():
+    """More probes can only widen the candidate set."""
+    import ray.data as rd
+
+    from pipeline.extras.ann import lsh_topk
+
+    ds = rd.read_parquet(f"{SF}/embeddings.parquet")
+    df = ds.to_pandas()
+    queries = np.stack(df["embedding"].head(3).to_numpy()).astype(np.float64)
+    lo = lsh_topk(ds, queries, [0, 1, 2], k=10, nbits=8, nprobe=2)
+    hi = lsh_topk(ds, queries, [0, 1, 2], k=10, nbits=8, nprobe=32)
+    assert len(hi) >= len(lo)
