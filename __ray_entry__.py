@@ -432,6 +432,36 @@ def _ann_topk_lsh(sf_dir: str) -> pd.DataFrame:
     return df.sort_values(["query_id", "rank"]).reset_index(drop=True)
 
 
+def _multimodal_features(sf_dir: str) -> pd.DataFrame:
+    """Multimodal pillar at the driver level: deterministic fake-codec
+    media table (binary payload + typed meta struct, cached under /tmp
+    like the PII corpus) -> actor-pool decode/feature stage with SMALL
+    batches (binary x concurrency sized to worker heaps) -> per-item
+    feature rows.  Rows-only driver check (payloads are not a DuckDB
+    view); decode stubs are the charter's honestly-marked seam — the
+    Ray-side schema/actor/batch plumbing under test is real."""
+    import os
+
+    from pipeline.extras.multimodal import media_pipeline, write_media_table
+
+    n = min(2000, max(200, _n_docs(sf_dir)))
+    media_dir = f"/tmp/graft_media_{n}"
+    if not os.path.isdir(media_dir):
+        write_media_table(media_dir + ".tmp", n, n_files=4)
+        try:
+            os.rename(media_dir + ".tmp", media_dir)
+        except OSError:
+            pass  # concurrent writer won; content is deterministic
+    ds = _read(media_dir)
+    out = media_pipeline(ds).select_columns(
+        ["item_id", "pixel_mean", "pixel_std", "decode_ok"]
+    )
+    df = out.to_pandas().sort_values("item_id").reset_index(drop=True)
+    df["pixel_mean"] = _round_ha(df["pixel_mean"], 4)
+    df["pixel_std"] = _round_ha(df["pixel_std"], 4)
+    return df
+
+
 def _n_docs(sf_dir: str) -> int:
     """Exact doc count from parquet metadata (no Ray execution) — feeds
     the dedup size switches so they pick a regime without an extra
@@ -1541,6 +1571,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_intra_dedup": _doc_intra_dedup,
         "doc_zscore_by_source": _doc_zscore_by_source,
         "ann_topk_lsh": _ann_topk_lsh,
+        "multimodal_features": _multimodal_features,
     }
 
 
