@@ -1452,6 +1452,23 @@ def _doc_zscore_by_source(sf_dir: str) -> pd.DataFrame:
     return df[["doc_id", "source", "n_chars", "zscore"]]
 
 
+def _doc_cume_dist_by_source(sf_dir: str) -> pd.DataFrame:
+    """Per-source cumulative-distribution rank of doc length
+    (corpusstats.groupwise_cume_dist): window-function normalization
+    computed WITHOUT a per-key sort — (key, value) histogram combiner ->
+    driver cumsum -> broadcast exact-pair lookup + one IEEE division,
+    bit-identical to SQL cume_dist()."""
+    from pipeline.extras.corpusstats import groupwise_cume_dist
+
+    ds = _read(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "source", "n_chars"],
+    )
+    out = groupwise_cume_dist(ds, key_col="source", val_col="n_chars")
+    df = out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    return df[["doc_id", "source", "n_chars", "cume_dist"]]
+
+
 def _docs_stratified_sample(sf_dir: str) -> pd.DataFrame:
     """Per-source stratified sample (k docs per source, deterministic):
     the Weyl sample hash as the per-key order + the existing two-phase
@@ -1572,6 +1589,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_zscore_by_source": _doc_zscore_by_source,
         "ann_topk_lsh": _ann_topk_lsh,
         "multimodal_features": _multimodal_features,
+        "doc_cume_dist_by_source": _doc_cume_dist_by_source,
     }
 
 
@@ -2018,6 +2036,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) FILTER (WHERE rn > 1) AS BIGINT)
                        AS n_lines_removed
             FROM f GROUP BY doc_id ORDER BY doc_id
+        """,
+        "doc_cume_dist_by_source": """
+            SELECT doc_id, source, n_chars,
+                   cume_dist() OVER (
+                       PARTITION BY source ORDER BY n_chars
+                   ) AS cume_dist
+            FROM documents ORDER BY doc_id
         """,
         "doc_zscore_by_source": """
             WITH m AS (

@@ -519,3 +519,64 @@ def groupwise_zscore(
     return ds.map_batches(
         normalize, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def groupwise_cume_dist(
+    ds: "ray.data.Dataset", *, key_col: str, val_col: str,
+    out_col: str = "cume_dist",
+) -> "ray.data.Dataset":
+    """Per-group cumulative-distribution rank of a discrete signal —
+    cume_dist(x) = (# rows in the group with value <= x) / group size.
+    The rank-normalization cousin of ``groupwise_zscore``: maps every
+    source's score distribution onto (0, 1] so a single global cut keeps
+    the same FRACTION of each source regardless of scale or shape (the
+    window-function normalization, computed WITHOUT a per-key sort).
+
+    Pass 1 builds per-(key, value) counts with the value_counts combiner
+    (distinct pairs shuffle, not rows); the |keys x distinct values|
+    histogram is cumsum'd on the driver and broadcast once.  Pass 2 is a
+    map-only searchsorted lookup + ONE IEEE division — bit-identical to
+    SQL cume_dist() over the same column."""
+    import ray as _ray
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.table({key_col: t[key_col], val_col: t[val_col]}).group_by(
+            [key_col, val_col]
+        ).aggregate([([], "count_all")])
+        return pa.table({
+            key_col: g[key_col], val_col: g[val_col],
+            "_n": pc.cast(g["count_all"], pa.int64()),
+        })
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby([key_col, val_col])
+        .aggregate(Sum("_n", alias_name="n"))
+        .to_pandas()
+        .sort_values([key_col, val_col])
+        .reset_index(drop=True)
+    )
+    hist["_cum"] = hist.groupby(key_col, sort=False)["n"].cumsum()
+    hist["_tot"] = hist.groupby(key_col, sort=False)["n"].transform("sum")
+    # every (key, value) pair seen in the data has an exact histogram
+    # entry, so the per-row lookup is a vectorized index join, no search
+    idx = pd.MultiIndex.from_arrays(
+        [hist[key_col].to_numpy(), hist[val_col].to_numpy()]
+    )
+    cums = hist["_cum"].to_numpy().astype(np.float64)
+    tot = hist["_tot"].to_numpy().astype(np.float64)
+    ref = _ray.put((idx, cums, tot))
+
+    def lookup(t: pa.Table) -> pa.Table:
+        hidx, c_all, t_all = _ray.get(ref)
+        pos = hidx.get_indexer(pd.MultiIndex.from_arrays([
+            t[key_col].to_numpy(zero_copy_only=False),
+            t[val_col].to_numpy(zero_copy_only=False),
+        ]))
+        cd = c_all[pos] / t_all[pos]
+        return t.append_column(out_col, pa.array(cd, pa.float64()))
+
+    return ds.map_batches(
+        lookup, batch_format="pyarrow", zero_copy_batch=True
+    )

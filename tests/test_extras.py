@@ -1099,3 +1099,21 @@ def test_lsh_nprobe_monotone_recall():
     lo = lsh_topk(ds, queries, [0, 1, 2], k=10, nbits=8, nprobe=2)
     hi = lsh_topk(ds, queries, [0, 1, 2], k=10, nbits=8, nprobe=32)
     assert len(hi) >= len(lo)
+
+
+def test_groupwise_cume_dist():
+    import ray.data as rd
+
+    from pipeline.extras.corpusstats import groupwise_cume_dist
+
+    df = pd.DataFrame({
+        "k": ["a"] * 4 + ["b"] * 2,
+        "v": np.array([10, 20, 20, 30, 5, 5], dtype=np.int64),
+    })
+    out = groupwise_cume_dist(
+        rd.from_pandas(df).repartition(3), key_col="k", val_col="v"
+    ).to_pandas()
+    a = out[out["k"] == "a"].sort_values("v")["cume_dist"].tolist()
+    # ties share the upper count: 10->1/4, 20->3/4 (x2), 30->1
+    assert a == [0.25, 0.75, 0.75, 1.0]
+    assert (out[out["k"] == "b"]["cume_dist"] == 1.0).all()
