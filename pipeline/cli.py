@@ -19,10 +19,18 @@ from pathlib import Path
 
 
 def _init_ray():
+    import os
+
     import ray
 
     if not ray.is_initialized():
-        ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+        # under `ray job submit` the job must JOIN the cluster, not start
+        # a private local instance: honor RAY_ADDRESS (preset to "local"
+        # in the test sandbox), falling back to auto-discovery
+        ray.init(
+            address=os.environ.get("RAY_ADDRESS", "auto"),
+            include_dashboard=False, logging_level="ERROR",
+        )
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
