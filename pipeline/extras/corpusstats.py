@@ -157,41 +157,44 @@ def tfidf_top_terms(
     )
 
 
+def bigram_partial(t: pa.Table, *, text_col: str = "text") -> pa.Table:
+    """Per-batch bigram combiner: adjacent-token pairs built vectorized
+    (Arrow ``binary_join_element_wise`` over the flattened token stream,
+    masked to same-document adjacency + nonempty tokens), pre-counted so
+    at most |batch bigram vocabulary| rows leave the batch."""
+    toks = pc.split_pattern(t[text_col], " ")
+    flat = pc.list_flatten(toks).combine_chunks()
+    parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+    if len(flat) < 2:
+        return pa.table({"bigram": pa.array([], pa.string()),
+                         "n_occ": pa.array([], pa.int64())})
+    w1, w2 = flat.slice(0, len(flat) - 1), flat.slice(1)
+    same_doc = pa.array(parents[:-1] == parents[1:])
+    nonempty = pc.and_(pc.not_equal(w1, ""), pc.not_equal(w2, ""))
+    mask = pc.and_(same_doc, nonempty)
+    big = pc.binary_join_element_wise(w1.filter(mask), w2.filter(mask), " ")
+    g = pa.table({"bigram": big}).group_by("bigram").aggregate(
+        [([], "count_all")])
+    return pa.table({"bigram": g["bigram"],
+                     "n_occ": pc.cast(g["count_all"], pa.int64())})
+
+
 def bigram_counts(
     ds: "ray.data.Dataset", *, text_col: str = "text", top_k: int = 50,
 ) -> "ray.data.Dataset":
     """Top-``top_k`` word bigrams with exact global counts — the n-gram
-    statistics pass of tokenizer/LM-table training.  Per-batch combiner:
-    adjacent-token pairs are built vectorized (Arrow
-    ``binary_join_element_wise`` over the flattened token stream, masked
-    to same-document adjacency) and pre-counted, so the exchange moves at
-    most |batch bigram vocabulary| partial rows, never token-stream
-    rows.  Ties rank by bigram ascending (deterministic); for vocabularies
-    too large to shuffle, layer ``heavy_hitter_terms``'s two-pass sketch
-    on top of the same partial (same trick, different key).
-    """
+    statistics pass of tokenizer/LM-table training.  ``bigram_partial``
+    per batch, vocabulary-sized groupby, deterministic (count desc,
+    bigram asc) top-k.  For bigram vocabularies too large to shuffle,
+    layer ``heavy_hitter_terms``'s two-pass sketch on top of the same
+    partial (same trick, different key)."""
     from ray.data.aggregate import Sum
 
-    def partial(t: pa.Table) -> pa.Table:
-        toks = pc.split_pattern(t[text_col], " ")
-        flat = pc.list_flatten(toks).combine_chunks()
-        parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
-        if len(flat) < 2:
-            return pa.table({"bigram": pa.array([], pa.string()),
-                             "n_occ": pa.array([], pa.int64())})
-        w1, w2 = flat.slice(0, len(flat) - 1), flat.slice(1)
-        same_doc = pa.array(parents[:-1] == parents[1:])
-        nonempty = pc.and_(pc.not_equal(w1, ""), pc.not_equal(w2, ""))
-        mask = pc.and_(same_doc, nonempty)
-        big = pc.binary_join_element_wise(
-            w1.filter(mask), w2.filter(mask), " ")
-        g = pa.table({"bigram": big}).group_by("bigram").aggregate(
-            [([], "count_all")])
-        return pa.table({"bigram": g["bigram"],
-                         "n_occ": pc.cast(g["count_all"], pa.int64())})
-
     return (
-        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        ds.map_batches(
+            lambda t: bigram_partial(t, text_col=text_col),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
         .groupby("bigram")
         .aggregate(Sum("n_occ", alias_name="n_occ"))
         .sort(["n_occ", "bigram"], descending=[True, False])

@@ -143,3 +143,34 @@ def test_scorer_invariance_long_docs():
         l1, c1 = lm.predict_one(t)
         assert l1 == langs[i] and c1 == confs[i], i
         assert pm.score_one(t) == ppls[i], i
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["alpha", "beta", "gamma", "x", ""]),
+            max_size=12,
+        ).map(" ".join),
+        min_size=1, max_size=10,
+    )
+)
+@settings(max_examples=80, deadline=None)
+def test_bigram_partial_matches_naive(texts):
+    """The vectorized same-doc adjacent-pair kernel == a naive per-doc
+    loop, for any batch (including empty tokens from double spaces and
+    single-word docs)."""
+    import pyarrow as pa
+
+    from pipeline.extras.corpusstats import bigram_partial
+
+    t = pa.table({"text": pa.array(texts, pa.string())})
+    out = bigram_partial(t)
+    got = dict(zip(out["bigram"].to_pylist(), out["n_occ"].to_pylist()))
+    exp: dict[str, int] = {}
+    for doc in texts:
+        ws = doc.split(" ")
+        for a, b in zip(ws, ws[1:]):
+            if a and b:
+                k = f"{a} {b}"
+                exp[k] = exp.get(k, 0) + 1
+    assert got == exp
