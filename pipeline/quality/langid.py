@@ -133,35 +133,26 @@ class LangIdModel:
         lens = np.diff(off)
         nwin = np.maximum(lens - 2, 0)
         h_all = _tri_hash_stream(data)  # includes boundary-crossing windows
-        # valid windows of doc i: positions off[i] .. off[i]+nwin[i]-1
-        starts = off[:-1]
+        # valid windows of doc i: positions off[i] .. off[i]+nwin[i]-1.
+        # Drop the <=2 boundary-crossing windows per doc with a boolean
+        # mask + compress (one 1-byte array + two guarded scatters)
+        # instead of materializing three window-count int64 index arrays.
         valid_counts = nwin
-        idx = np.repeat(starts, valid_counts) + (
-            np.arange(int(valid_counts.sum()), dtype=np.int64)
-            - np.repeat(np.cumsum(np.concatenate([[0], valid_counts[:-1]])), valid_counts)
-        )
-        h = h_all[idx]
+        keep = np.ones(len(h_all), dtype=bool)
+        for back in (1, 2):
+            p = off[1:] - back
+            keep[p[(p >= off[:-1]) & (p < len(h_all))]] = False
+        h = h_all[keep]
         if len(h) == 0:
             return scores
-        # numerator: sum_b profile[l,b] * cnt_b  ==  sum over ALL window
-        # occurrences of profile[l, h_w] — no uniquing needed. Per-doc
-        # segment sums via reduceat (sequential, segment-local: batch-
-        # composition-invariant).
-        wstart = np.zeros(n, dtype=np.int64)
-        np.cumsum(valid_counts[:-1], out=wstart[1:])
-        contrib = self.profiles_t[h]  # n_windows x L gather (row-major)
-        # sentinel zero row so an empty row's index (== len(h)) is valid
-        # WITHOUT clamping — a clamp would shift the previous row's
-        # segment boundary and corrupt its sum (found by hypothesis).
-        # A closing index bounds the LAST real segment so it never
-        # includes the sentinel: reduceat sums pairwise, and merely
-        # changing a segment's element count changes the summation tree
-        # and the last ulp — which broke solo-vs-batch bit equality.
-        contrib = np.vstack([contrib, np.zeros((1, L), dtype=contrib.dtype)])
-        ind = np.concatenate([wstart, [len(h)]])
-        num = np.add.reduceat(contrib, ind, axis=0)[:-1]  # n x L
-        # norm: ||cnt||^2 per doc needs per-bucket counts — one sort of a
-        # combined (row*D + bucket) key, then run-length encode
+        # ONE sort of a combined (row*D + bucket) key run-length-encodes
+        # the per-(doc, bucket) counts, which drive BOTH the numerator
+        # and the norm.  The numerator gathers one profile row per
+        # DISTINCT (doc, bucket) pair weighted by its count — ~3-4x
+        # fewer gathered rows than one-per-window on natural/code text
+        # (measured 0.27 distinct/window on the code fixture), and the
+        # per-doc summation order (bucket ascending) is canonical, i.e.
+        # independent of batch composition by construction.
         if n < (1 << 15):  # row*D + bucket fits uint32 -> faster sort
             rows32 = np.repeat(np.arange(n, dtype=np.uint32), valid_counts)
             key = rows32 * np.uint32(D) + h
@@ -174,10 +165,23 @@ class LangIdModel:
         run_starts = np.nonzero(new)[0]
         cnt = np.diff(np.concatenate([run_starts, [len(ks)]])).astype(np.float64)
         run_rows = (ks[run_starts] // D).astype(np.int64)
+        run_buckets = (ks[run_starts] % D).astype(np.int64)
         row_run_off = np.searchsorted(run_rows, np.arange(n))
+        # numerator: sum_b profile[l,b] * cnt_b over the doc's distinct
+        # buckets.  Sentinel zero row so an empty row's index (== n_runs)
+        # is valid WITHOUT clamping — a clamp would shift the previous
+        # row's segment boundary and corrupt its sum (found by
+        # hypothesis); the closing index bounds the LAST real segment so
+        # it never includes the sentinel.  (reduceat on rows where
+        # ind[i] == ind[i+1] yields a garbage single element — masked
+        # below by `has`, exactly as for norm_sq.)
+        contrib = self.profiles_t[run_buckets] * cnt[:, None].astype(np.float32)
+        contrib = np.vstack([contrib, np.zeros((1, L), dtype=contrib.dtype)])
+        ind = np.concatenate([row_run_off, [len(cnt)]])
+        num = np.add.reduceat(contrib, ind, axis=0)[:-1]  # n x L
         norm_sq = np.add.reduceat(
             np.concatenate([cnt * cnt, [0.0]]),          # sentinel, no clamp
-            np.concatenate([row_run_off, [len(cnt)]]),    # closing index
+            ind,                                          # closing index
         )[:-1]
         norms = np.sqrt(norm_sq)
         has = valid_counts > 0
