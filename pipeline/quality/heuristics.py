@@ -53,9 +53,22 @@ def _alnum_counts(arr: pa.Array) -> np.ndarray:
     char-level count because [A-Za-z0-9] are single-byte in UTF-8 and
     non-ASCII bytes are >= 0x80 (LUT 0)."""
     off, data = _string_buffers(arr)
-    cs = np.zeros(len(data) + 1, dtype=np.int64)
-    np.cumsum(_ALNUM_LUT[data], out=cs[1:])
-    return cs[off[1:]] - cs[off[:-1]]
+    out = np.zeros(len(arr), dtype=np.int64)
+    lens = np.diff(off)
+    nz = lens > 0
+    if not nz.any():
+        return out
+    # segment reduceat (int64 accumulator) instead of a full-stream
+    # cumsum: same exact integer sums, no len(data)-sized int64 output.
+    # Indices are the starts of NON-EMPTY segments only: they are strictly
+    # increasing and, because segments tile [off[0], off[-1]], reduceat
+    # over the sliced buffer yields exactly those segments' sums (clamping
+    # empty-segment starts instead would truncate the preceding segment).
+    rel = off - off[0]
+    out[nz] = np.add.reduceat(
+        _ALNUM_LUT[data[off[0]: off[-1]]], rel[:-1][nz], dtype=np.int64
+    )
+    return out
 
 
 def _line_hashes(flat: pa.Array) -> np.ndarray:
@@ -72,10 +85,16 @@ def _line_hashes(flat: pa.Array) -> np.ndarray:
     )
     w = _HASH_W[pos & 0xFFFF] + (pos >> 16) * _BLOCK_MULT
     vals = data[off[0]: off[-1]].astype(np.int64) * w
-    cs = np.zeros(len(vals) + 1, dtype=np.int64)
-    np.cumsum(vals, out=cs[1:])
-    rel = off - off[0]
-    return (cs[rel[1:]] - cs[rel[:-1]]) * np.int64(31) + lens
+    # segment reduceat == the previous cumsum-diff bit-for-bit (int64
+    # addition is associative-exact under wraparound). Indices are the
+    # starts of NON-EMPTY segments only (strictly increasing, tile the
+    # sliced buffer) — empty lines keep the 0 sum the diff produced.
+    seg = np.zeros(len(lens), dtype=np.int64)
+    nz = lens > 0
+    if nz.any():
+        rel = off - off[0]
+        seg[nz] = np.add.reduceat(vals, rel[:-1][nz])
+    return seg * np.int64(31) + lens
 
 
 def heuristic_batch(content: pa.Array | pa.ChunkedArray) -> dict[str, np.ndarray]:

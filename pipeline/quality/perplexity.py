@@ -40,7 +40,8 @@ _FIT_SNIPPETS = 160
 _EMPTY_PPL = float(2 ** 16)
 
 # byte -> class fold table
-_FOLD = np.full(256, 63, dtype=np.int64)  # other
+_FOLD = np.full(256, 63, dtype=np.int32)  # other; V**3 < 2**31 so int32
+# index math halves the memory traffic of the per-byte temp arrays
 for i, ch in enumerate("abcdefghijklmnopqrstuvwxyz"):
     _FOLD[ord(ch)] = i
     _FOLD[ord(ch.upper())] = i
@@ -99,7 +100,7 @@ class PerplexityModel:
         if len(data) < 3:
             return out
         c = _FOLD[data]
-        t = c[:-2] * V * V + c[1:-1] * V + c[2:]
+        t = (c[:-2] * V + c[1:-1]) * V + c[2:]  # Horner: one fewer temp
         lp = self.logp[t].astype(np.float64)
         lp = np.concatenate([lp, [0.0]])  # sentinel: end index == len(t) ok
         starts = off[:-1]

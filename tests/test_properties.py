@@ -2,7 +2,7 @@
 
 from __future__ import annotations
 
-from hypothesis import given, settings, strategies as st
+from hypothesis import example, given, settings, strategies as st
 
 from pipeline.detect.detector import detect_spans
 from pipeline.detect.scrub import apply_spans, scrub_text
@@ -109,6 +109,8 @@ def test_scorer_batch_composition_invariance(texts):
         min_size=1, max_size=10,
     )
 )
+@example(texts=["00", ""])  # trailing-empty row: reduceat start clamping
+# must not truncate the preceding non-empty segment's alnum sum
 @settings(max_examples=40, deadline=None)
 def test_heuristic_batch_matches_scalar(texts):
     import pyarrow as pa
