@@ -1529,6 +1529,59 @@ def _doc_pack_bins(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def _dedup_incremental(sf_dir: str) -> pd.DataFrame:
+    """Incremental (delta) dedup of a new shard against an existing
+    corpus (pipeline/extras/incremental.py): Bloom prefilter over a
+    ray.put-broadcast bitmap + exact confirm — bit-equal to an
+    anti-join, but the existing corpus never reshuffles and only 8-byte
+    keys cross the wire (the append-only production shape).  The
+    "shard" is derived deterministically from the same table
+    (doc_id % 3 == 0; even doc_ids keep their text -> duplicates, odd
+    get a ' (rev 2)' suffix -> novel) so the DuckDB LEFT-JOIN oracle
+    computes the identical split; the engine result is exact despite
+    the approximate prefilter (FPs only grow the confirm set)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Sum
+
+    from pipeline.extras.incremental import novel_against
+
+    existing = _read(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def mk_shard(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(ids % 3 == 0))
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        suffixed = pc.binary_join_element_wise(
+            t["text"], pa.scalar(" (rev 2)"), pa.scalar("")
+        )
+        text = pc.if_else(pa.array(ids % 2 == 0), t["text"], suffixed)
+        return pa.table(
+            {"doc_id": t["doc_id"], "source": t["source"], "text": text}
+        )
+
+    shard = _read(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text"]
+    ).map_batches(mk_shard, batch_format="pyarrow", zero_copy_batch=True)
+
+    out = novel_against(existing, shard)
+    agg = (
+        out.map_batches(
+            lambda t: pa.table({
+                "source": t["source"],
+                "novel": pc.cast(t["is_novel"], pa.int64()),
+            }),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+        .groupby("source")
+        .aggregate(Count(alias_name="n_shard"), Sum("novel", alias_name="n_novel"))
+    )
+    df = agg.to_pandas().sort_values("source").reset_index(drop=True)
+    df["n_shard"] = df["n_shard"].astype("int64")
+    df["n_novel"] = df["n_novel"].astype("int64")
+    df["n_dup"] = (df["n_shard"] - df["n_novel"]).astype("int64")
+    return df[["source", "n_shard", "n_dup", "n_novel"]]
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "doc_length_stats": _doc_length_stats,
@@ -1590,6 +1643,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_lsh": _ann_topk_lsh,
         "multimodal_features": _multimodal_features,
         "doc_cume_dist_by_source": _doc_cume_dist_by_source,
+        "dedup_incremental": _dedup_incremental,
     }
 
 
@@ -2106,6 +2160,20 @@ def oracle_sql() -> dict[str, str]:
                    sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 10000.0 + 0.5) AS BIGINT)) / 10000.0 AS revenue
             FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
             GROUP BY s.s_name ORDER BY s.s_name
+        """,
+        "dedup_incremental": """
+            WITH shard AS (
+                SELECT doc_id, source,
+                       CASE WHEN doc_id % 2 = 0 THEN text
+                            ELSE text || ' (rev 2)' END AS text
+                FROM documents WHERE doc_id % 3 = 0
+            ), existing AS (SELECT DISTINCT text FROM documents)
+            SELECT s.source,
+                   CAST(count(*) AS BIGINT) AS n_shard,
+                   CAST(count(e.text) AS BIGINT) AS n_dup,
+                   CAST(count(*) - count(e.text) AS BIGINT) AS n_novel
+            FROM shard s LEFT JOIN existing e USING (text)
+            GROUP BY s.source ORDER BY s.source
         """,
         # minhash_dup_pairs / simhash_dup_pairs / embedding_near_dups /
         # langid_documents / ann_topk_ivf: no SQL equivalent (sketches,

@@ -1,0 +1,110 @@
+"""Incremental (Bloom prefilter + exact confirm) dedup tests."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def test_bloom_no_false_negatives_and_low_fp():
+    from pipeline.extras.incremental import bloom_contains, bloom_partial
+
+    rng = np.random.RandomState(3)
+    present = rng.randint(-(2 ** 62), 2 ** 62, size=5000).astype(np.int64)
+    absent = rng.randint(-(2 ** 62), 2 ** 62, size=5000).astype(np.int64)
+    absent = np.setdiff1d(absent, present)
+    words = bloom_partial(present, m_bits=1 << 18, k=4)
+    assert bloom_contains(words, present).all()  # no false negatives ever
+    fp = bloom_contains(words, absent).mean()
+    assert fp < 0.05  # 5k keys in 256Kbit @ k=4 -> ~0.2% expected
+
+
+def test_bloom_empty_keys():
+    from pipeline.extras.incremental import bloom_contains, bloom_partial
+
+    words = bloom_partial(np.array([], dtype=np.int64), m_bits=1 << 10)
+    assert words.sum() == 0
+    assert bloom_contains(words, np.array([], dtype=np.int64)).shape == (0,)
+
+
+def _tables():
+    existing = pa.table({
+        "doc_id": pa.array(range(6), pa.int64()),
+        "text": pa.array(
+            ["alpha beta", "gamma delta", "epsilon", "zeta eta",
+             "theta iota", "kappa"]),
+    })
+    shard = pa.table({
+        "doc_id": pa.array([100, 101, 102, 103], pa.int64()),
+        "text": pa.array(
+            ["gamma delta",      # dup
+             "brand new text",   # novel
+             "kappa",            # dup
+             "another novel"]),  # novel
+    })
+    return existing, shard
+
+
+def test_novel_against_exact(ray_session):
+    import ray.data as rd
+
+    from pipeline.extras.incremental import novel_against
+
+    existing, shard = _tables()
+    out = (
+        novel_against(rd.from_arrow(existing), rd.from_arrow(shard))
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert out["is_novel"].tolist() == [False, True, False, True]
+
+
+def test_novel_against_exact_under_fp_storm(ray_session):
+    """An absurdly undersized bloom (64 bits for 200 keys -> every probe
+    a false positive) must still yield the exact answer: FPs only grow
+    the confirm set, never flip a verdict."""
+    import ray.data as rd
+
+    from pipeline.extras.incremental import novel_against
+
+    texts = [f"doc number {i}" for i in range(200)]
+    existing = pa.table({"text": pa.array(texts)})
+    shard = pa.table({
+        "doc_id": pa.array(range(100), pa.int64()),
+        # even ids duplicate an existing doc, odd ids are novel
+        "text": pa.array([
+            texts[i] if i % 2 == 0 else f"novel shard doc {i}"
+            for i in range(100)
+        ]),
+    })
+    out = (
+        novel_against(rd.from_arrow(existing), rd.from_arrow(shard),
+                      m_bits=64, k=2)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert out["is_novel"].tolist() == [i % 2 == 1 for i in range(100)]
+
+
+def test_candidate_cap_warns(ray_session, caplog):
+    import logging
+
+    import ray.data as rd
+
+    import pipeline.extras.incremental as inc
+
+    existing = pa.table({"text": pa.array([f"t{i}" for i in range(50)])})
+    shard = pa.table({
+        "doc_id": pa.array(range(50), pa.int64()),
+        "text": pa.array([f"t{i}" for i in range(50)]),
+    })
+    old = inc.MAX_CANDIDATES
+    inc.MAX_CANDIDATES = 10
+    try:
+        with caplog.at_level(logging.WARNING, logger="pipeline.extras.incremental"):
+            out = inc.novel_against(
+                rd.from_arrow(existing), rd.from_arrow(shard)
+            ).to_pandas()
+        assert not out["is_novel"].any()
+        assert any("MAX_CANDIDATES" in r.message for r in caplog.records)
+    finally:
+        inc.MAX_CANDIDATES = old
