@@ -1582,6 +1582,25 @@ def _dedup_incremental(sf_dir: str) -> pd.DataFrame:
     return df[["source", "n_shard", "n_dup", "n_novel"]]
 
 
+def _doc_repetition(sf_dir: str) -> pd.DataFrame:
+    """Gopher-style word-n-gram repetition signals
+    (pipeline/extras/repetition.py): top-bigram coverage + duplicated-
+    trigram fraction per doc.  Map-only (no shuffle); one lexsort over
+    the flat word-hash buffer per batch.  Exact-int products followed by
+    ONE IEEE division make the doubles bit-identical to the DuckDB
+    window/group oracle — no rounding."""
+    from pipeline.extras.repetition import repetition_signals_stage
+
+    ds = _read(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "n_chars"]
+    )
+    out = ds.map_batches(
+        repetition_signals_stage, batch_format="pyarrow", zero_copy_batch=True
+    )
+    df = out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    return df[["doc_id", "top_bigram_frac", "dup3_frac"]]
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "doc_length_stats": _doc_length_stats,
@@ -1644,6 +1663,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_features": _multimodal_features,
         "doc_cume_dist_by_source": _doc_cume_dist_by_source,
         "dedup_incremental": _dedup_incremental,
+        "doc_repetition": _doc_repetition,
     }
 
 
@@ -2174,6 +2194,50 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) - count(e.text) AS BIGINT) AS n_novel
             FROM shard s LEFT JOIN existing e USING (text)
             GROUP BY s.source ORDER BY s.source
+        """,
+        "doc_repetition": """
+            WITH words AS (
+                SELECT doc_id, n_chars,
+                       unnest(string_split(text, ' ')) AS w,
+                       generate_subscripts(string_split(text, ' '), 1) AS i
+                FROM documents
+            ), big AS (
+                SELECT doc_id, n_chars, w || ' ' || lead(w,1) OVER win AS g
+                FROM words WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+                QUALIFY lead(w,1) OVER win IS NOT NULL
+            ), bcnt AS (
+                SELECT doc_id, any_value(n_chars) AS n_chars, g, count(*) AS c
+                FROM big GROUP BY doc_id, g
+            ), btop AS (
+                SELECT doc_id, max(c) AS cmax FROM bcnt GROUP BY doc_id
+            ), btop2 AS (
+                SELECT b.doc_id, t.cmax, max(length(b.g)) AS glen
+                FROM bcnt b JOIN btop t
+                  ON b.doc_id = t.doc_id AND b.c = t.cmax
+                GROUP BY b.doc_id, t.cmax
+            ), tri AS (
+                SELECT doc_id,
+                       w || ' ' || lead(w,1) OVER win || ' '
+                         || lead(w,2) OVER win AS g
+                FROM words WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+                QUALIFY lead(w,2) OVER win IS NOT NULL
+            ), tcnt AS (
+                SELECT doc_id, g, count(*) AS c FROM tri GROUP BY doc_id, g
+            ), tfrac AS (
+                SELECT doc_id,
+                       CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS DOUBLE)
+                           / CAST(sum(c) AS DOUBLE) AS dup3
+                FROM tcnt GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   COALESCE(CAST(b.cmax * b.glen AS DOUBLE)
+                            / CAST(d.n_chars AS DOUBLE), 0.0)
+                       AS top_bigram_frac,
+                   COALESCE(t.dup3, 0.0) AS dup3_frac
+            FROM documents d
+            LEFT JOIN btop2 b ON d.doc_id = b.doc_id
+            LEFT JOIN tfrac t ON d.doc_id = t.doc_id
+            ORDER BY d.doc_id
         """,
         # minhash_dup_pairs / simhash_dup_pairs / embedding_near_dups /
         # langid_documents / ann_topk_ivf: no SQL equivalent (sketches,

@@ -1,0 +1,70 @@
+"""Gopher-style repetition-signal tests (pipeline/extras/repetition.py)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+from hypothesis import example, given, settings, strategies as st
+
+
+def _scalar_ref(text: str, n_chars: int) -> tuple[float, float]:
+    """Naive per-doc reference: dict-counted n-grams."""
+    words = text.split(" ")
+    top = 0.0
+    if len(words) >= 2:
+        cnt: dict[tuple[str, str], int] = {}
+        for a, b in zip(words, words[1:]):
+            cnt[(a, b)] = cnt.get((a, b), 0) + 1
+        cmax = max(cnt.values())
+        glen = max(
+            len(a) + len(b) + 1 for (a, b), c in cnt.items() if c == cmax
+        )
+        top = cmax * glen / n_chars
+    dup3 = 0.0
+    if len(words) >= 3:
+        cnt3: dict[tuple[str, str, str], int] = {}
+        for g in zip(words, words[1:], words[2:]):
+            cnt3[g] = cnt3.get(g, 0) + 1
+        tot = sum(cnt3.values())
+        dup3 = sum(c for c in cnt3.values() if c >= 2) / tot
+    return top, dup3
+
+
+def _run(texts: list[str]):
+    from pipeline.extras.repetition import repetition_signals_stage
+
+    batch = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    })
+    return repetition_signals_stage(batch)
+
+
+def test_toy_vectors():
+    out = _run(["a b a b c", "x", "", "p q p q p q"])
+    assert out["top_bigram_frac"].to_pylist() == [
+        6 / 9, 0.0, 0.0, 9 / 11,  # doc1: 'a b' x2, glen 3; doc4: 'p q' x3
+    ]
+    assert out["dup3_frac"].to_pylist() == [0.0, 0.0, 0.0, 1.0]
+
+
+def test_empty_batch():
+    out = _run([])
+    assert len(out) == 0
+    assert out.column_names == ["doc_id", "top_bigram_frac", "dup3_frac"]
+
+
+@given(st.lists(
+    st.text(alphabet="ab ", max_size=60), min_size=1, max_size=8,
+))
+@example(texts=["a  a  a", "  ", "b a b a b"])
+@settings(max_examples=60, deadline=None)
+def test_matches_scalar_reference(texts):
+    out = _run(texts)
+    for i, t in enumerate(texts):
+        # len(t) == 0 -> one empty word -> no bigrams -> both 0 (the
+        # 0/n_chars division is never taken)
+        top, dup3 = _scalar_ref(t, len(t)) if len(t) else (0.0, 0.0)
+        assert float(out["top_bigram_frac"][i].as_py()) == top, (i, t)
+        assert float(out["dup3_frac"][i].as_py()) == dup3, (i, t)
