@@ -1601,6 +1601,23 @@ def _doc_repetition(sf_dir: str) -> pd.DataFrame:
     return df[["doc_id", "top_bigram_frac", "dup3_frac"]]
 
 
+def _doc_chunks(sf_dir: str) -> pd.DataFrame:
+    """Overlapping word-window chunking (pipeline/extras/chunking.py):
+    flat_map-style explode of each doc into 40-word windows at stride
+    30.  Map-only; the per-batch loop is over chunk indices (each one a
+    vectorized list_slice + binary_join), not rows.  Oracle: the same
+    windows via DuckDB list slicing (1-based inclusive == arrow's
+    0-based exclusive) over generate_series."""
+    from pipeline.extras.chunking import chunk_words_windowed
+
+    ds = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = ds.map_batches(
+        chunk_words_windowed, batch_format="pyarrow", zero_copy_batch=True
+    )
+    df = out.to_pandas().sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
+    return df[["doc_id", "chunk_idx", "chunk_text", "n_chunk_words"]]
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "doc_length_stats": _doc_length_stats,
@@ -1664,6 +1681,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_cume_dist_by_source": _doc_cume_dist_by_source,
         "dedup_incremental": _dedup_incremental,
         "doc_repetition": _doc_repetition,
+        "doc_chunks": _doc_chunks,
     }
 
 
@@ -2238,6 +2256,19 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN btop2 b ON d.doc_id = b.doc_id
             LEFT JOIN tfrac t ON d.doc_id = t.doc_id
             ORDER BY d.doc_id
+        """,
+        "doc_chunks": """
+            WITH w AS (
+                SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+            ), c AS (
+                SELECT doc_id, ws,
+                       unnest(generate_series(0, (len(ws) + 29) // 30 - 1)) AS k
+                FROM w
+            )
+            SELECT doc_id, k AS chunk_idx,
+                   array_to_string(ws[k*30+1 : k*30+40], ' ') AS chunk_text,
+                   CAST(len(ws[k*30+1 : k*30+40]) AS BIGINT) AS n_chunk_words
+            FROM c ORDER BY doc_id, k
         """,
         # minhash_dup_pairs / simhash_dup_pairs / embedding_near_dups /
         # langid_documents / ann_topk_ivf: no SQL equivalent (sketches,

@@ -1,0 +1,64 @@
+"""Overlapping word-window document chunking — the flat_map-style
+explode every training/RAG pipeline needs to turn long documents into
+model-sized sequences with context overlap.
+
+Reference scope note: the reference engine (tursunait/roberta-pii-detector)
+truncates to max_length at tokenize time (model.ipynb tokenizer calls);
+this operator is the corpus-side generalisation: every window survives,
+with ``stride`` controlling the overlap instead of dropping the tail.
+
+Chunk k of a document covers words [k*stride, k*stride + window); a
+chunk exists iff its start index is inside the document, i.e. the doc
+yields ceil(n_words / stride) chunks (the tail chunk may be short).
+
+Map-only and per-doc, so the operator streams at any scale; output is
+(1 + (window-stride)/stride)x the input rows, produced inside the same
+block (no shuffle, no driver round-trip).  The per-batch loop runs over
+CHUNK INDICES (bounded by longest-doc/stride), not rows — each
+iteration is one vectorized list_slice + binary_join over every doc
+still long enough, so per-row Python never happens.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def chunk_words_windowed(
+    batch: pa.Table, *, text_col: str = "text", window: int = 40,
+    stride: int = 30, id_cols: tuple[str, ...] = ("doc_id",),
+) -> pa.Table:
+    if not 0 < stride <= window:
+        raise ValueError(f"need 0 < stride <= window, got {stride=} {window=}")
+    schema = pa.schema(
+        [pa.field(c, batch.schema.field(c).type) for c in id_cols]
+        + [pa.field("chunk_idx", pa.int64()),
+           pa.field("chunk_text", pa.string()),
+           pa.field("n_chunk_words", pa.int64())]
+    )
+    if len(batch) == 0:
+        return schema.empty_table()
+
+    txt = batch[text_col]
+    if isinstance(txt, pa.ChunkedArray):
+        txt = txt.combine_chunks()
+    words = pc.split_pattern(txt, " ")  # == SQL string_split(text, ' ')
+    if isinstance(words, pa.ChunkedArray):
+        words = words.combine_chunks()
+    n_words = pc.list_value_length(words).to_numpy(zero_copy_only=False)
+
+    pieces = []
+    for k in range(int(-(-n_words.max() // stride))):
+        mask = pa.array(n_words > k * stride)
+        ids = {c: batch[c].filter(mask) for c in id_cols}
+        sl = pc.list_slice(words.filter(mask), k * stride, k * stride + window)
+        n = len(sl)
+        pieces.append(pa.table({
+            **ids,
+            "chunk_idx": pa.array(np.full(n, k, dtype=np.int64)),
+            "chunk_text": pc.binary_join(sl, " "),
+            "n_chunk_words": pc.cast(pc.list_value_length(sl), pa.int64()),
+        }, schema=schema))
+    return pa.concat_tables(pieces)

@@ -1,0 +1,76 @@
+"""Overlapping word-window chunking tests (pipeline/extras/chunking.py)."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pytest
+from hypothesis import given, settings, strategies as st
+
+
+def _run(texts, window=4, stride=3):
+    from pipeline.extras.chunking import chunk_words_windowed
+
+    batch = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts),
+    })
+    return chunk_words_windowed(batch, window=window, stride=stride)
+
+
+def test_basic_overlap():
+    out = _run(["w0 w1 w2 w3 w4 w5 w6"], window=4, stride=3)
+    rows = list(zip(
+        out["chunk_idx"].to_pylist(), out["chunk_text"].to_pylist(),
+        out["n_chunk_words"].to_pylist(),
+    ))
+    assert rows == [
+        (0, "w0 w1 w2 w3", 4),
+        (1, "w3 w4 w5 w6", 4),  # overlap of window - stride = 1 word
+        (2, "w6", 1),           # short tail chunk
+    ]
+
+
+def test_empty_text_yields_one_empty_chunk():
+    out = _run([""])
+    assert out["chunk_idx"].to_pylist() == [0]
+    assert out["chunk_text"].to_pylist() == [""]
+    assert out["n_chunk_words"].to_pylist() == [1]  # split('') == ['']
+
+
+def test_empty_batch_keeps_schema():
+    out = _run([])
+    assert len(out) == 0
+    assert out.column_names == [
+        "doc_id", "chunk_idx", "chunk_text", "n_chunk_words",
+    ]
+
+
+def test_bad_stride_raises():
+    with pytest.raises(ValueError):
+        _run(["a"], window=4, stride=5)
+    with pytest.raises(ValueError):
+        _run(["a"], window=4, stride=0)
+
+
+@given(
+    st.lists(st.text(alphabet="xy ", max_size=50), min_size=1, max_size=6),
+    st.integers(1, 5), st.integers(0, 4),
+)
+@settings(max_examples=60, deadline=None)
+def test_matches_scalar_reference(texts, stride, extra):
+    window = stride + extra
+    out = _run(texts, window=window, stride=stride)
+    got = {}
+    for d, k, t, n in zip(
+        out["doc_id"].to_pylist(), out["chunk_idx"].to_pylist(),
+        out["chunk_text"].to_pylist(), out["n_chunk_words"].to_pylist(),
+    ):
+        got[(d, k)] = (t, n)
+    expect = {}
+    for d, text in enumerate(texts):
+        ws = text.split(" ")
+        n_chunks = -(-len(ws) // stride)
+        for k in range(n_chunks):
+            piece = ws[k * stride: k * stride + window]
+            expect[(d, k)] = (" ".join(piece), len(piece))
+    assert got == expect
