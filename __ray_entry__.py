@@ -1618,6 +1618,38 @@ def _doc_chunks(sf_dir: str) -> pd.DataFrame:
     return df[["doc_id", "chunk_idx", "chunk_text", "n_chunk_words"]]
 
 
+def _corpus_budget_select(sf_dir: str) -> pd.DataFrame:
+    """Token-budget corpus selection without a global sort
+    (pipeline/extras/selection.py): keep docs by (n_chars DESC, doc_id)
+    until 10% of the corpus's whitespace tokens are used — histogram
+    prefix-sum finds the boundary score; only the one tie group touches
+    the driver.  Bit-equal to the SQL running-sum window formulation."""
+    from ray.data.aggregate import Count, Sum
+
+    from pipeline.extras.selection import budget_select
+    from pipeline.extras.textstats import token_count_stage
+
+    ds = _read(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "source", "n_chars", "text"],
+    ).map_batches(
+        token_count_stage, batch_format="pyarrow", zero_copy_batch=True
+    ).select_columns(["doc_id", "source", "n_chars", "n_tokens_ws"])
+
+    sel = budget_select(
+        ds, score_col="n_chars", token_col="n_tokens_ws",
+        budget=lambda total: total // 10,
+    )
+    agg = sel.groupby("source").aggregate(
+        Count(alias_name="n_selected"),
+        Sum("n_tokens_ws", alias_name="sel_tokens"),
+    )
+    df = agg.to_pandas().sort_values("source").reset_index(drop=True)
+    df["n_selected"] = df["n_selected"].astype("int64")
+    df["sel_tokens"] = df["sel_tokens"].astype("int64")
+    return df[["source", "n_selected", "sel_tokens"]]
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "doc_length_stats": _doc_length_stats,
@@ -1682,6 +1714,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_incremental": _dedup_incremental,
         "doc_repetition": _doc_repetition,
         "doc_chunks": _doc_chunks,
+        "corpus_budget_select": _corpus_budget_select,
     }
 
 
@@ -2269,6 +2302,24 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(ws[k*30+1 : k*30+40], ' ') AS chunk_text,
                    CAST(len(ws[k*30+1 : k*30+40]) AS BIGINT) AS n_chunk_words
             FROM c ORDER BY doc_id, k
+        """,
+        "corpus_budget_select": """
+            WITH t AS (
+                SELECT doc_id, source, n_chars,
+                       CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                       END AS n_tok
+                FROM documents
+            ), s AS (
+                SELECT *,
+                       sum(n_tok) OVER (ORDER BY n_chars DESC, doc_id) AS cum,
+                       (SELECT sum(n_tok) FROM t) // 10 AS budget
+                FROM t
+            )
+            SELECT source, CAST(count(*) AS BIGINT) AS n_selected,
+                   CAST(sum(n_tok) AS BIGINT) AS sel_tokens
+            FROM s WHERE cum <= budget
+            GROUP BY source ORDER BY source
         """,
         # minhash_dup_pairs / simhash_dup_pairs / embedding_near_dups /
         # langid_documents / ann_topk_ivf: no SQL equivalent (sketches,

@@ -50,7 +50,7 @@ QUERY_NAMES = [
     "doc_tfidf_top", "corpus_bigrams", "doc_quality_filter",
     "doc_intra_dedup", "doc_zscore_by_source", "ann_topk_lsh",
     "multimodal_features", "doc_cume_dist_by_source", "dedup_incremental",
-    "doc_repetition", "doc_chunks",
+    "doc_repetition", "doc_chunks", "corpus_budget_select",
 ]
 
 

@@ -1,0 +1,87 @@
+"""budget_select tests (pipeline/extras/selection.py)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+from hypothesis import given, settings, strategies as st
+
+
+def _brute(df: pd.DataFrame, budget: int) -> set:
+    """Reference: ORDER BY score DESC, id ASC; inclusive cumsum <= budget."""
+    s = df.sort_values(["score", "doc_id"], ascending=[False, True])
+    cum = s["tok"].cumsum()
+    return set(s["doc_id"][cum <= budget])
+
+
+def _run(df: pd.DataFrame, budget, ray_session) -> set:
+    import ray.data as rd
+
+    from pipeline.extras.selection import budget_select
+
+    ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+    out = budget_select(
+        ds, score_col="score", token_col="tok", budget=budget
+    ).to_pandas()
+    # Ray's to_pandas drops columns on a fully-empty dataset
+    return set(out["doc_id"]) if len(out) else set()
+
+
+def test_boundary_group_partial(ray_session):
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5, 6],
+        "score": [9, 7, 7, 7, 5, 5],
+        "tok": [10, 10, 10, 10, 10, 10],
+    })
+    # budget 25: doc1 (10) + doc2 (20) fit; doc3 would hit 30 > 25
+    assert _run(df, 25, ray_session) == {1, 2} == _brute(df, 25)
+    # budget 40: all of score-7 group fits inclusively
+    assert _run(df, 40, ray_session) == {1, 2, 3, 4} == _brute(df, 40)
+
+
+def test_everything_fits(ray_session):
+    df = pd.DataFrame({
+        "doc_id": [1, 2], "score": [1, 2], "tok": [5, 5],
+    })
+    assert _run(df, 100, ray_session) == {1, 2}
+
+
+def test_budget_callable_gets_total(ray_session):
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4], "score": [4, 3, 2, 1], "tok": [10] * 4,
+    })
+    got = _run(df, lambda total: total // 2, ray_session)
+    assert got == {1, 2} == _brute(df, 20)
+
+
+def test_zero_budget_selects_nothing(ray_session):
+    df = pd.DataFrame({
+        "doc_id": [1, 2], "score": [2, 1], "tok": [3, 4],
+    })
+    assert _run(df, 0, ray_session) == set()
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 6)),
+        min_size=1, max_size=30,
+    ),
+    st.integers(0, 80),
+)
+@settings(max_examples=25, deadline=None)
+def test_matches_brute_force(rows, budget):
+    # hypothesis strategy shares one Ray session via the autouse fixture;
+    # init lazily here because function-scoped fixtures can't mix with
+    # @given
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=4, include_dashboard=False,
+                 logging_level="ERROR")
+    df = pd.DataFrame({
+        "doc_id": np.arange(len(rows), dtype=np.int64),
+        "score": np.array([r[0] for r in rows], dtype=np.int64),
+        "tok": np.array([r[1] for r in rows], dtype=np.int64),
+    })
+    assert _run(df, budget, None) == _brute(df, budget)
