@@ -30,6 +30,15 @@ The only non-streaming piece is the boundary group; a degenerate score
 distribution (everything the same score) makes it the whole corpus, so
 MAX_BOUNDARY warns — the production fix is a finer score (more distinct
 values), not a bigger driver.
+
+Execution-count note (same caveat as exact dedup's double-execution
+shape): the input dataset's lineage runs THREE times — histogram,
+boundary fetch, verdict — which is inherent to data-dependent-threshold
+selection (pass N's predicate depends on pass N-1's global result).
+Callers should feed a NARROW projection (id, score, tokens — as
+_corpus_budget_select does) so the re-executed lineage is a pruned read
+plus cheap maps; if the upstream is expensive, write the projection to
+parquet once and select over that.
 """
 
 from __future__ import annotations
