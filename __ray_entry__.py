@@ -1650,6 +1650,34 @@ def _corpus_budget_select(sf_dir: str) -> pd.DataFrame:
     return df[["source", "n_selected", "sel_tokens"]]
 
 
+def _doc_ppl_quantiles(sf_dir: str) -> pd.DataFrame:
+    """Quantile sketch over a CONTINUOUS model-score column
+    (pipeline/extras/sketches.py): perplexity-score the corpus with the
+    actor-pool stage, then mergeable equi-weight summaries -> balanced
+    tree fold.  Rows-only (model scores have no SQL form); the sketch's
+    exact-regime equivalence to quantile_disc and its 2% rank-error
+    bound in the approximate regime are pytest-verified
+    (tests/test_sketches.py)."""
+    import ray as _ray
+
+    from pipeline.extras.sketches import sketch_quantiles
+    from pipeline.quality.perplexity import PerplexityModel
+    from pipeline.ray_pipeline import PerplexityScorer
+
+    ppl_ref = _ray.put(PerplexityModel.default())
+    ds = _docs(sf_dir).map_batches(
+        PerplexityScorer, batch_format="pyarrow", batch_size=512,
+        fn_constructor_kwargs={"column": "text", "model_ref": ppl_ref},
+        concurrency=2, num_cpus=1,
+    ).select_columns(["perplexity"])
+    qs = [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+    vals = sketch_quantiles(ds, "perplexity", qs, k=4096)
+    return pd.DataFrame({
+        "q": np.array(qs, dtype=np.float64),
+        "perplexity": _round_ha(np.array(vals, dtype=np.float64), 3),
+    })
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "doc_length_stats": _doc_length_stats,
@@ -1715,6 +1743,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_repetition": _doc_repetition,
         "doc_chunks": _doc_chunks,
         "corpus_budget_select": _corpus_budget_select,
+        "doc_ppl_quantiles": _doc_ppl_quantiles,
     }
 
 

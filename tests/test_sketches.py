@@ -1,0 +1,112 @@
+"""Quantile-sketch tests (pipeline/extras/sketches.py)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+from hypothesis import given, settings, strategies as st
+
+
+def _exact_disc(vals: np.ndarray, q: float) -> float:
+    """DuckDB quantile_disc: value at 1-based rank ceil(q*n)."""
+    s = np.sort(vals)
+    rank = int(np.ceil(q * len(s)))
+    return float(s[max(rank - 1, 0)])
+
+
+def _rank_error(vals: np.ndarray, est: float, q: float) -> float:
+    s = np.sort(vals)
+    lo = np.searchsorted(s, est, side="left")
+    hi = np.searchsorted(s, est, side="right")
+    target = q * len(s)
+    if lo <= target <= hi:
+        return 0.0
+    return min(abs(lo - target), abs(hi - target)) / len(s)
+
+
+def test_exact_when_small():
+    from pipeline.extras.sketches import summary_from_values, summary_quantile
+
+    vals = np.array([5.0, 1.0, 3.0, 2.0, 4.0])
+    s = summary_from_values(vals, k=16)
+    for q in (0.1, 0.25, 0.5, 0.9, 1.0):
+        assert summary_quantile(s, q) == _exact_disc(vals, q)
+
+
+def test_merge_exact_when_total_small():
+    from pipeline.extras.sketches import (
+        merge_summaries, summary_from_values, summary_quantile,
+    )
+
+    a = summary_from_values(np.array([1.0, 7.0, 3.0]), k=64)
+    b = summary_from_values(np.array([2.0, 9.0]), k=64)
+    m = merge_summaries(a, b, k=64)
+    allv = np.array([1.0, 7.0, 3.0, 2.0, 9.0])
+    for q in (0.2, 0.5, 0.8):
+        assert summary_quantile(m, q) == _exact_disc(allv, q)
+
+
+@pytest.mark.parametrize("dist", ["uniform", "lognormal", "constant", "bimodal"])
+def test_rank_error_bound_after_tree_fold(dist):
+    from pipeline.extras.sketches import merge_summaries, summary_from_values, summary_quantile
+
+    rng = np.random.RandomState(11)
+    n, blocks, k = 50_000, 16, 512
+    if dist == "uniform":
+        vals = rng.rand(n)
+    elif dist == "lognormal":
+        vals = np.exp(rng.randn(n) * 2.0)
+    elif dist == "constant":
+        vals = np.full(n, 3.14)
+    else:
+        vals = np.where(rng.rand(n) < 0.5, rng.rand(n), rng.rand(n) + 100)
+    parts = [
+        summary_from_values(c, k) for c in np.array_split(vals, blocks)
+    ]
+    while len(parts) > 1:
+        parts = [
+            merge_summaries(parts[i], parts[i + 1], k)
+            if i + 1 < len(parts) else parts[i]
+            for i in range(0, len(parts), 2)
+        ]
+    for q in (0.01, 0.1, 0.5, 0.9, 0.99):
+        est = summary_quantile(parts[0], q)
+        assert _rank_error(vals, est, q) <= 0.02, (dist, q)
+
+
+def test_layout_determinism():
+    from pipeline.extras.sketches import merge_summaries, summary_from_values
+
+    rng = np.random.RandomState(5)
+    vals = rng.rand(4000)
+    chunks = np.array_split(vals, 7)
+    s1 = [summary_from_values(c, 128) for c in chunks]
+    s2 = [summary_from_values(c, 128) for c in chunks]
+    m1, m2 = s1[0], s2[0]
+    for a, b in zip(s1[1:], s2[1:]):
+        m1 = merge_summaries(m1, a, 128)
+        m2 = merge_summaries(m2, b, 128)
+    assert np.array_equal(m1[0], m2[0]) and np.array_equal(m1[1], m2[1])
+
+
+def test_distributed_sketch_exact_regime(ray_session):
+    import ray.data as rd
+
+    from pipeline.extras.sketches import sketch_quantiles
+
+    rng = np.random.RandomState(2)
+    vals = rng.rand(400)
+    ds = rd.from_arrow(pa.table({"x": pa.array(vals)}))
+    got = sketch_quantiles(ds, "x", [0.25, 0.5, 0.75], k=1024)
+    assert got == [_exact_disc(vals, q) for q in (0.25, 0.5, 0.75)]
+
+
+def test_distributed_sketch_empty(ray_session):
+    import ray.data as rd
+
+    from pipeline.extras.sketches import sketch_quantiles
+
+    ds = rd.from_arrow(pa.table({"x": pa.array([], pa.float64())}))
+    got = sketch_quantiles(ds, "x", [0.5])
+    assert np.isnan(got[0])
