@@ -100,14 +100,30 @@ def bloom_contains(words: np.ndarray, keys: np.ndarray, k: int = 4) -> np.ndarra
     return hit
 
 
+_OR_FAN = 64  # bitmaps OR-reduced per task at each tree level
+
+
+def _or_bitmaps(t: pa.Table) -> pa.Table:
+    """OR every row's packed bitmap into one row (a tree-reduce level)."""
+    acc: np.ndarray | None = None
+    for blob in t["bloom"]:
+        w = np.frombuffer(blob.as_py(), dtype=np.uint64)
+        acc = w.copy() if acc is None else acc | w
+    return pa.table({"bloom": pa.array([acc.tobytes()], pa.binary())})
+
+
 def build_bloom(
     ds: "ray.data.Dataset", *, text_col: str = "text",
     m_bits: int = 1 << 22, k: int = 4,
 ) -> np.ndarray:
     """Streaming Bloom build over ``ds[text_col]`` content hashes.
-    Driver memory is ONE m_bits/8-byte accumulator; partial bitmaps
-    stream through ``iter_batches`` (a reduce over #blocks tiny
-    artifacts, not a materialization of the corpus)."""
+
+    One partial bitmap per input block would make the driver OR-reduce
+    pull #blocks x m/8 bytes (hundreds of GB for a multi-GB bloom over
+    10^12 rows), so two tree-OR ``map_batches`` levels (fan _OR_FAN,
+    i.e. 4096x compression) run INSIDE the cluster first; the driver
+    then ORs the few survivors with one m/8-byte accumulator.  Levels
+    are near-noops when the input is small."""
 
     def partial(t: pa.Table) -> pa.Table:
         keys = hash_strings64(t[text_col].combine_chunks()
@@ -116,10 +132,15 @@ def build_bloom(
         words = bloom_partial(keys, m_bits=m_bits, k=k)
         return pa.table({"bloom": pa.array([words.tobytes()], pa.binary())})
 
-    acc = np.zeros(m_bits >> 6, dtype=np.uint64)
     partials = ds.map_batches(
         partial, batch_format="pyarrow", zero_copy_batch=True
     )
+    for _ in range(2):
+        partials = partials.map_batches(
+            _or_bitmaps, batch_format="pyarrow", batch_size=_OR_FAN,
+            zero_copy_batch=True,
+        )
+    acc = np.zeros(m_bits >> 6, dtype=np.uint64)
     for b in partials.iter_batches(batch_size=None, batch_format="pyarrow"):
         for blob in b["bloom"]:
             acc |= np.frombuffer(blob.as_py(), dtype=np.uint64)

@@ -85,6 +85,23 @@ def test_novel_against_exact_under_fp_storm(ray_session):
     assert out["is_novel"].tolist() == [i % 2 == 1 for i in range(100)]
 
 
+def test_build_bloom_tree_or_matches_single_pass(ray_session):
+    """The two in-cluster tree-OR levels must be a pure reduce: the
+    distributed bloom over many blocks equals the one built from all
+    keys in a single call, bit for bit."""
+    import ray.data as rd
+
+    from pipeline.extras.incremental import (
+        bloom_partial, build_bloom, hash_strings64,
+    )
+
+    texts = [f"document body {i}" for i in range(500)]
+    ds = rd.from_arrow(pa.table({"text": pa.array(texts)})).repartition(13)
+    got = build_bloom(ds, m_bits=1 << 14)
+    want = bloom_partial(hash_strings64(pa.array(texts)), m_bits=1 << 14)
+    assert np.array_equal(got, want)
+
+
 def test_candidate_cap_warns(ray_session, caplog):
     import logging
 
