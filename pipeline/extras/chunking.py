@@ -38,12 +38,15 @@ def chunk_words_windowed(
            pa.field("chunk_text", pa.string()),
            pa.field("n_chunk_words", pa.int64())]
     )
-    if len(batch) == 0:
-        return schema.empty_table()
-
     txt = batch[text_col]
     if isinstance(txt, pa.ChunkedArray):
         txt = txt.combine_chunks()
+    if txt.null_count:  # null text -> zero chunks for that row
+        valid = pc.is_valid(txt)
+        batch = batch.filter(valid)
+        txt = txt.filter(valid)
+    if len(batch) == 0:
+        return schema.empty_table()
     words = pc.split_pattern(txt, " ")  # == SQL string_split(text, ' ')
     if isinstance(words, pa.ChunkedArray):
         words = words.combine_chunks()

@@ -60,6 +60,14 @@ logger = logging.getLogger(__name__)
 MAX_CANDIDATES = 16_000_000
 
 
+def _check_m_bits(m_bits: int) -> None:
+    if m_bits < 64 or m_bits & (m_bits - 1):
+        raise ValueError(
+            f"m_bits must be a power of two >= 64 (mask arithmetic and "
+            f"whole uint64 words), got {m_bits}"
+        )
+
+
 def _bloom_positions(keys: np.ndarray, m_bits: int, k: int) -> np.ndarray:
     """(len(keys), k) bit positions via double hashing: h1 + i*h2 mod m.
     m_bits must be a power of two (mask instead of modulo)."""
@@ -77,6 +85,7 @@ def _bloom_positions(keys: np.ndarray, m_bits: int, k: int) -> np.ndarray:
 
 def bloom_partial(keys: np.ndarray, m_bits: int = 1 << 22, k: int = 4) -> np.ndarray:
     """Packed uint64 bitmap (m_bits/64 words) with the given keys set."""
+    _check_m_bits(m_bits)
     words = np.zeros(m_bits >> 6, dtype=np.uint64)
     if len(keys):
         pos = _bloom_positions(keys, m_bits, k).ravel()
@@ -124,6 +133,7 @@ def build_bloom(
     i.e. 4096x compression) run INSIDE the cluster first; the driver
     then ORs the few survivors with one m/8-byte accumulator.  Levels
     are near-noops when the input is small."""
+    _check_m_bits(m_bits)
 
     def partial(t: pa.Table) -> pa.Table:
         keys = hash_strings64(t[text_col].combine_chunks()
@@ -154,6 +164,15 @@ def _batch_keys(t: pa.Table, text_col: str) -> np.ndarray:
     return hash_strings64(col)
 
 
+def _key_column(ds: "ray.data.Dataset") -> np.ndarray:
+    """Pull a keys-only dataset to a unique int64 array; Ray's
+    to_pandas drops columns on a fully-empty dataset, so guard."""
+    df = ds.to_pandas()
+    if not len(df):
+        return np.empty(0, dtype=np.int64)
+    return np.unique(df["key"].to_numpy(dtype=np.int64))
+
+
 def novel_against(
     existing: "ray.data.Dataset", shard: "ray.data.Dataset", *,
     text_col: str = "text", m_bits: int = 1 << 22, k: int = 4,
@@ -169,29 +188,41 @@ def novel_against(
         hits = bloom_contains(ray.get(bloom_ref), keys, k=k)
         return pa.table({"key": pa.array(np.unique(keys[hits]), pa.int64())})
 
-    cand = shard.map_batches(
+    cand = _key_column(shard.map_batches(
         candidates, batch_format="pyarrow", zero_copy_batch=True
-    ).to_pandas()["key"].to_numpy(dtype=np.int64)
-    cand = np.unique(cand)
+    ))
     if len(cand) > MAX_CANDIDATES:
         logger.warning(
             "incremental dedup: %d candidate keys exceed MAX_CANDIDATES=%d "
             "(undersized bloom or near-total duplication); confirming in "
-            "slices", len(cand), MAX_CANDIDATES,
+            "%d slices", len(cand), MAX_CANDIDATES,
+            -(-len(cand) // MAX_CANDIDATES),
         )
-    cand_ref = ray.put(cand)
 
     # 3. exact confirm: which candidate keys does the existing corpus
     # actually contain? Each task emits its batch's intersection.
-    def confirm(t: pa.Table) -> pa.Table:
-        keys = _batch_keys(t, text_col)
-        present = np.intersect1d(keys, ray.get(cand_ref))
-        return pa.table({"key": pa.array(present, pa.int64())})
+    # Sliced so a candidate storm never broadcasts more than
+    # MAX_CANDIDATES keys at once (one extra corpus pass per slice).
+    present_parts = []
+    n_slices = max(1, -(-len(cand) // MAX_CANDIDATES))
+    for sl in np.array_split(cand, n_slices):
+        if not len(sl):
+            continue
+        cand_ref = ray.put(sl)
 
-    present = existing.map_batches(
-        confirm, batch_format="pyarrow", zero_copy_batch=True
-    ).to_pandas()["key"].to_numpy(dtype=np.int64)
-    present_ref = ray.put(np.unique(present))
+        def confirm(t: pa.Table, _ref=cand_ref) -> pa.Table:
+            keys = _batch_keys(t, text_col)
+            present = np.intersect1d(keys, ray.get(_ref))
+            return pa.table({"key": pa.array(present, pa.int64())})
+
+        present_parts.append(_key_column(existing.map_batches(
+            confirm, batch_format="pyarrow", zero_copy_batch=True
+        )))
+    present = (
+        np.unique(np.concatenate(present_parts))
+        if present_parts else np.empty(0, dtype=np.int64)
+    )
+    present_ref = ray.put(present)
 
     def verdict(t: pa.Table) -> pa.Table:
         keys = _batch_keys(t, text_col)

@@ -95,6 +95,14 @@ def repetition_signals_stage(
         starts, counts = _runs(order, d, h1, h2)
         run_doc = d[order][starts]
         run_glen = glen[order][starts]
+        if run_glen.max() >= (1 << _GLEN_BITS):
+            # loud error instead of silently corrupting the packed
+            # lexicographic max (same policy as asof_join's 2^53 guard)
+            raise ValueError(
+                f"bigram string length {int(run_glen.max())} >= "
+                f"2^{_GLEN_BITS}; unsegmented text this pathological "
+                f"needs pre-splitting before repetition_signals_stage"
+            )
         packed = (counts.astype(np.int64) << _GLEN_BITS) | run_glen
         # per-doc lexicographic max of (count, glen): runs are already
         # grouped by doc after the lexsort, so one reduceat per doc

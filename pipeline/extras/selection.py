@@ -85,9 +85,10 @@ def budget_select(
         .groupby(score_col)
         .aggregate(Sum("tok", alias_name="tok"), Sum("n", alias_name="n"))
         .to_pandas()
-        .sort_values(score_col, ascending=False)
-        .reset_index(drop=True)
     )
+    if not len(hist):  # empty input (to_pandas drops columns when empty)
+        return ds
+    hist = hist.sort_values(score_col, ascending=False).reset_index(drop=True)
     total = int(hist["tok"].sum())
     b = int(budget(total)) if callable(budget) else int(budget)
 

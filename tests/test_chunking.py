@@ -45,6 +45,23 @@ def test_empty_batch_keeps_schema():
     ]
 
 
+def test_null_text_yields_zero_chunks():
+    from pipeline.extras.chunking import chunk_words_windowed
+
+    batch = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array(["a b c", None, "d"]),
+    })
+    out = chunk_words_windowed(batch, window=4, stride=3)
+    assert out["doc_id"].to_pylist() == [0, 2]  # null doc skipped
+
+    all_null = pa.table({
+        "doc_id": pa.array([0], pa.int64()),
+        "text": pa.array([None], pa.string()),
+    })
+    assert len(chunk_words_windowed(all_null)) == 0
+
+
 def test_bad_stride_raises():
     with pytest.raises(ValueError):
         _run(["a"], window=4, stride=5)

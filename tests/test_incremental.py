@@ -85,6 +85,35 @@ def test_novel_against_exact_under_fp_storm(ray_session):
     assert out["is_novel"].tolist() == [i % 2 == 1 for i in range(100)]
 
 
+def test_all_novel_shard_no_candidates(ray_session):
+    """Zero bloom hits -> empty candidate set; must not crash on Ray's
+    column-dropping empty to_pandas."""
+    import ray.data as rd
+
+    from pipeline.extras.incremental import novel_against
+
+    existing = pa.table({"text": pa.array([f"old {i}" for i in range(20)])})
+    shard = pa.table({
+        "doc_id": pa.array(range(5), pa.int64()),
+        "text": pa.array([f"completely new {i}" for i in range(5)]),
+    })
+    out = novel_against(
+        rd.from_arrow(existing), rd.from_arrow(shard), m_bits=1 << 20
+    ).to_pandas()
+    assert out["is_novel"].all()
+
+
+def test_m_bits_validation():
+    import numpy as np
+    import pytest as _pytest
+
+    from pipeline.extras.incremental import bloom_partial
+
+    for bad in (100, 1_000_000, 32, 0):
+        with _pytest.raises(ValueError):
+            bloom_partial(np.array([1], dtype=np.int64), m_bits=bad)
+
+
 def test_build_bloom_tree_or_matches_single_pass(ray_session):
     """The two in-cluster tree-OR levels must be a pure reduce: the
     distributed bloom over many blocks equals the one built from all

@@ -55,6 +55,13 @@ def test_empty_batch():
     assert out.column_names == ["doc_id", "top_bigram_frac", "dup3_frac"]
 
 
+def test_giant_gram_raises_instead_of_corrupting():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="bigram string length"):
+        _run(["x" * (1 << 21) + " y"])
+
+
 @given(st.lists(
     st.text(alphabet="ab ", max_size=60), min_size=1, max_size=8,
 ))

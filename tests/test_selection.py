@@ -55,6 +55,15 @@ def test_budget_callable_gets_total(ray_session):
     assert got == {1, 2} == _brute(df, 20)
 
 
+def test_empty_input_passes_through(ray_session):
+    df = pd.DataFrame({
+        "doc_id": pd.Series([], dtype="int64"),
+        "score": pd.Series([], dtype="int64"),
+        "tok": pd.Series([], dtype="int64"),
+    })
+    assert _run(df, 10, ray_session) == set()
+
+
 def test_zero_budget_selects_nothing(ray_session):
     df = pd.DataFrame({
         "doc_id": [1, 2], "score": [2, 1], "tok": [3, 4],
