@@ -1678,6 +1678,59 @@ def _doc_ppl_quantiles(sf_dir: str) -> pd.DataFrame:
     })
 
 
+def _curation_end_to_end(sf_dir: str) -> pd.DataFrame:
+    """Composed curation chain — keep-first exact dedup (keys-only
+    aggregate) -> adaptive quantile quality floor (histogram threshold)
+    -> token-budget selection (no global sort) -> per-source stats —
+    verified against ONE full-chain SQL oracle.  Each stage is
+    oracle-exact alone; this query proves they stay exact COMPOSED,
+    i.e. a user can chain the engine's operators like the reference's
+    single-process pipeline and get the same answers.  Dedup groups on
+    the vectorized 64-bit content hash (collision caveat as elsewhere);
+    the oracle partitions by the text itself."""
+    from ray.data.aggregate import Count, Sum
+
+    from pipeline.extras.incremental import hash_strings64
+    from pipeline.extras.selection import budget_select
+    from pipeline.extras.textstats import (
+        quantile_threshold_filter, token_count_stage,
+    )
+    from pipeline.partition import keep_first_by
+
+    def add_key(t: pa.Table) -> pa.Table:
+        col = t["text"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        return t.append_column(
+            "content_key", pa.array(hash_strings64(col), pa.int64())
+        )
+
+    ds = _read(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "source", "n_chars", "text"],
+    ).map_batches(
+        token_count_stage, batch_format="pyarrow", zero_copy_batch=True
+    ).map_batches(
+        add_key, batch_format="pyarrow", zero_copy_batch=True
+    ).select_columns(
+        ["doc_id", "source", "n_chars", "n_tokens_ws", "content_key"]
+    )
+    deduped = keep_first_by(ds, group_col="content_key", order_col="doc_id")
+    kept, _thr = quantile_threshold_filter(deduped, col="n_tokens_ws", q=0.25)
+    sel = budget_select(
+        kept, score_col="n_chars", token_col="n_tokens_ws",
+        budget=lambda total: total // 10,
+    )
+    agg = sel.groupby("source").aggregate(
+        Count(alias_name="n_docs"),
+        Sum("n_tokens_ws", alias_name="n_tokens"),
+    )
+    df = agg.to_pandas().sort_values("source").reset_index(drop=True)
+    df["n_docs"] = df["n_docs"].astype("int64")
+    df["n_tokens"] = df["n_tokens"].astype("int64")
+    return df[["source", "n_docs", "n_tokens"]]
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "doc_length_stats": _doc_length_stats,
@@ -1744,6 +1797,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_chunks": _doc_chunks,
         "corpus_budget_select": _corpus_budget_select,
         "doc_ppl_quantiles": _doc_ppl_quantiles,
+        "curation_end_to_end": _curation_end_to_end,
     }
 
 
@@ -2348,6 +2402,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, CAST(count(*) AS BIGINT) AS n_selected,
                    CAST(sum(n_tok) AS BIGINT) AS sel_tokens
             FROM s WHERE cum <= budget
+            GROUP BY source ORDER BY source
+        """,
+        "curation_end_to_end": """
+            WITH dedup AS (
+                SELECT doc_id, source, n_chars, text FROM (
+                    SELECT *, row_number() OVER (
+                        PARTITION BY text ORDER BY doc_id) AS rn
+                    FROM documents
+                ) WHERE rn = 1
+            ), tok AS (
+                SELECT doc_id, source, n_chars,
+                       CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                       END AS n_tok
+                FROM dedup
+            ), filt AS (
+                SELECT * FROM tok
+                WHERE n_tok >= (SELECT quantile_disc(n_tok, 0.25) FROM tok)
+            ), sel AS (
+                SELECT *,
+                       sum(n_tok) OVER (ORDER BY n_chars DESC, doc_id) AS cum,
+                       (SELECT sum(n_tok) FROM filt) // 10 AS budget
+                FROM filt
+            )
+            SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_tok) AS BIGINT) AS n_tokens
+            FROM sel WHERE cum <= budget
             GROUP BY source ORDER BY source
         """,
         # minhash_dup_pairs / simhash_dup_pairs / embedding_near_dups /
