@@ -1731,6 +1731,21 @@ def _curation_end_to_end(sf_dir: str) -> pd.DataFrame:
     return df[["source", "n_docs", "n_tokens"]]
 
 
+def _docs_temperature_sample(sf_dir: str) -> pd.DataFrame:
+    """Temperature-based source mixing (alpha=0.5, the T5/mT5 rule:
+    sample k_s proportional to sqrt(n_s)) — pipeline/extras/mixing.
+    temperature_sample.  sqrt is the one exponent IEEE requires to be
+    correctly rounded, so the per-source targets are bit-portable to
+    the DuckDB oracle; selection is the deterministic per-source
+    bottom-k by Weyl-hashed doc_id (two-phase top-n trim)."""
+    from pipeline.extras.mixing import temperature_sample
+
+    ds = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "source"])
+    return temperature_sample(
+        ds, key_col="source", id_col="doc_id", n_target=100, seed=23,
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "doc_length_stats": _doc_length_stats,
@@ -1798,6 +1813,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_budget_select": _corpus_budget_select,
         "doc_ppl_quantiles": _doc_ppl_quantiles,
         "curation_end_to_end": _curation_end_to_end,
+        "docs_temperature_sample": _docs_temperature_sample,
     }
 
 
@@ -2430,6 +2446,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(n_tok) AS BIGINT) AS n_tokens
             FROM sel WHERE cum <= budget
             GROUP BY source ORDER BY source
+        """,
+        "docs_temperature_sample": """
+            WITH counts AS (
+                SELECT source, count(*) AS n FROM documents GROUP BY source
+            ), w AS (
+                SELECT source,
+                       CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000000) AS BIGINT)
+                           AS w
+                FROM counts
+            ), k AS (
+                SELECT source, (100 * w) // (SELECT sum(w) FROM w) AS k FROM w
+            ), r AS (
+                SELECT doc_id, source,
+                       row_number() OVER (
+                           PARTITION BY source
+                           ORDER BY (((doc_id + 23) % 2147483647)
+                                     * 1327217884) % 2147483647, doc_id
+                       ) AS rn
+                FROM documents
+            )
+            SELECT r.doc_id, r.source FROM r JOIN k USING (source)
+            WHERE rn <= k ORDER BY r.doc_id
         """,
         # minhash_dup_pairs / simhash_dup_pairs / embedding_near_dups /
         # langid_documents / ann_topk_ivf: no SQL equivalent (sketches,

@@ -51,7 +51,7 @@ QUERY_NAMES = [
     "doc_intra_dedup", "doc_zscore_by_source", "ann_topk_lsh",
     "multimodal_features", "doc_cume_dist_by_source", "dedup_incremental",
     "doc_repetition", "doc_chunks", "corpus_budget_select",
-    "doc_ppl_quantiles", "curation_end_to_end",
+    "doc_ppl_quantiles", "curation_end_to_end", "docs_temperature_sample",
 ]
 
 

@@ -163,3 +163,74 @@ def pack_summary(packed: pd.DataFrame, *, key: str, token_col: str,
     }).reset_index()
     out["mean_fill"] = out["total_tokens"] / (out["n_bins"] * budget)
     return out.sort_values(key).reset_index(drop=True)
+
+
+def temperature_targets(
+    counts: pd.DataFrame, *, key_col: str, n_col: str, n_target: int,
+    alpha: float = 0.5,
+) -> pd.DataFrame:
+    """Per-key sample targets under temperature-based mixing
+    (p_key proportional to n_key^alpha — the T5/mT5 source-balancing
+    rule): k_key = n_target * w_key // sum(w), w_key =
+    floor(sqrt(n_key) * 1e6) as int64.
+
+    Only alpha=0.5 is supported: IEEE-754 requires sqrt to be correctly
+    rounded, so numpy and DuckDB produce the identical double and the
+    targets are bit-portable to the SQL oracle; pow(x, alpha) for other
+    alphas is libm-dependent and would break oracle parity.  The floor
+    loss means sum(k) <= n_target (never over-budget)."""
+    if alpha != 0.5:
+        raise NotImplementedError(
+            "only alpha=0.5 (sqrt) is bit-portable across engines; "
+            f"got alpha={alpha}"
+        )
+    n = counts[n_col].to_numpy().astype(np.float64)
+    w = np.floor(np.sqrt(n) * 1e6).astype(np.int64)
+    total = int(w.sum())
+    out = counts[[key_col]].copy()
+    out["w"] = w
+    out["k"] = (n_target * w) // total if total else 0
+    return out
+
+
+def temperature_sample(
+    ds: "ray.data.Dataset", *, key_col: str, id_col: str, n_target: int,
+    alpha: float = 0.5, seed: int = 0,
+) -> pd.DataFrame:
+    """Deterministic temperature-mixed sample: per-key bottom-k_key rows
+    by Weyl-hashed id, with k from ``temperature_targets``.  Two
+    streaming passes (counts combiner; two-phase top-n trim) — the only
+    driver-sized object is the sample itself (<= n_target rows) plus the
+    <= n_keys * max(k) trimmed candidates.  Equals the SQL
+    row_number()-over-hash-order <= k_key formulation."""
+    from pipeline.extras.corpusstats import value_counts
+    from pipeline.partition import topn_per_key
+
+    counts = value_counts(ds, key_col).to_pandas()
+    if not len(counts):
+        return pd.DataFrame({id_col: pd.Series([], dtype="int64"),
+                             key_col: pd.Series([], dtype="object")})
+    targets = temperature_targets(
+        counts, key_col=key_col, n_col="n", n_target=n_target, alpha=alpha,
+    )
+    kmap = dict(zip(targets[key_col], targets["k"]))
+    max_k = int(targets["k"].max())
+    if max_k == 0:
+        return pd.DataFrame({id_col: pd.Series([], dtype="int64"),
+                             key_col: pd.Series([], dtype="object")})
+
+    def add_h(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column("_h", pa.array(weyl_hash(ids + np.int64(seed))))
+
+    cand = topn_per_key(
+        ds.map_batches(add_h, batch_format="pyarrow", zero_copy_batch=True)
+        .select_columns([id_col, key_col, "_h"]),
+        key=key_col, order_by=["_h", id_col], ascending=[True, True],
+        n=max_k,
+    ).to_pandas()
+    cand["_k"] = cand[key_col].map(kmap)
+    out = cand[cand["rnk"] <= cand["_k"]]
+    return (
+        out[[id_col, key_col]].sort_values(id_col).reset_index(drop=True)
+    )

@@ -1117,3 +1117,51 @@ def test_groupwise_cume_dist():
     # ties share the upper count: 10->1/4, 20->3/4 (x2), 30->1
     assert a == [0.25, 0.75, 0.75, 1.0]
     assert (out[out["k"] == "b"]["cume_dist"] == 1.0).all()
+
+
+def test_temperature_targets_math():
+    import pandas as pd
+    import pytest as _pytest
+
+    from pipeline.extras.mixing import temperature_targets
+
+    counts = pd.DataFrame({"source": ["a", "b", "c"], "n": [100, 400, 2500]})
+    t = temperature_targets(
+        counts, key_col="source", n_col="n", n_target=80, alpha=0.5
+    )
+    # weights proportional to sqrt(n) = 10, 20, 50 -> k = 10, 20, 50
+    assert t["k"].tolist() == [10, 20, 50]
+    assert t["k"].sum() <= 80  # floor loss never over-budget
+    # temperature flattens: the 25x-bigger source gets only 5x the docs
+    assert t["k"].iloc[2] / t["k"].iloc[0] == 5.0
+    with _pytest.raises(NotImplementedError):
+        temperature_targets(
+            counts, key_col="source", n_col="n", n_target=80, alpha=0.3
+        )
+
+
+def test_temperature_sample_deterministic_and_bounded(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pipeline.extras.mixing import temperature_sample
+
+    tbl = pa.table({
+        "doc_id": pa.array(range(300), pa.int64()),
+        "source": pa.array(
+            ["big"] * 250 + ["small"] * 50
+        ),
+    })
+    a = temperature_sample(
+        rd.from_arrow(tbl), key_col="source", id_col="doc_id",
+        n_target=30, seed=7,
+    )
+    b = temperature_sample(
+        rd.from_arrow(tbl).repartition(5), key_col="source",
+        id_col="doc_id", n_target=30, seed=7,
+    )
+    assert a.equals(b)  # layout-independent
+    per = a.groupby("source").size()
+    assert per.sum() <= 30
+    # sqrt damping: 5x rows -> ~sqrt(5)x sample, nowhere near 5x
+    assert per["big"] / per["small"] < 3
