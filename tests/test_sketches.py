@@ -110,3 +110,24 @@ def test_distributed_sketch_empty(ray_session):
     ds = rd.from_arrow(pa.table({"x": pa.array([], pa.float64())}))
     got = sketch_quantiles(ds, "x", [0.5])
     assert np.isnan(got[0])
+
+
+def test_doc_ppl_quantiles_query_exact_regime(ray_session):
+    """At sf0.001 the corpus is far below K=4096, so the sketch is in
+    its exact regime: the query's quantiles must equal quantile_disc
+    over the identically-scored perplexities computed driver-side."""
+    import ray as _ray
+
+    import __ray_entry__ as entrymod
+    from pipeline.quality.perplexity import PerplexityModel
+
+    got = entrymod.queries()["doc_ppl_quantiles"]("/root/testdata/sf0.001")
+
+    import pyarrow.parquet as pq
+    texts = pq.read_table(
+        "/root/testdata/sf0.001/documents.parquet", columns=["text"]
+    )["text"].to_pylist()
+    model = PerplexityModel.default()
+    ppl = np.array([model.score_one(t) for t in texts])
+    for q, v in zip(got["q"], got["perplexity"]):
+        assert v == entrymod._round_ha(_exact_disc(ppl, q), 3), q
