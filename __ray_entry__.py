@@ -1688,14 +1688,25 @@ def _curation_end_to_end(sf_dir: str) -> pd.DataFrame:
     single-process pipeline and get the same answers.  Dedup groups on
     the vectorized 64-bit content hash (collision caveat as elsewhere);
     the oracle partitions by the text itself."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
     from ray.data.aggregate import Count, Sum
 
     from pipeline.extras.incremental import hash_strings64
     from pipeline.extras.selection import budget_select
-    from pipeline.extras.textstats import (
-        quantile_threshold_filter, token_count_stage,
-    )
+    from pipeline.extras.textstats import quantile_threshold_filter
     from pipeline.partition import keep_first_by
+
+    path = f"{sf_dir}/documents.parquet"
+    n_rows = pq.ParquetFile(path).metadata.num_rows
+
+    # ws-only token count: the BPE-ish second regex of token_count_stage
+    # would be discarded here, so don't pay for it
+    def ws_tokens(t: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(
+            pc.utf8_trim_whitespace(t["text"]), r"\S+"
+        )
+        return t.append_column("n_tokens_ws", pc.cast(n, pa.int64()))
 
     def add_key(t: pa.Table) -> pa.Table:
         col = t["text"]
@@ -1705,18 +1716,30 @@ def _curation_end_to_end(sf_dir: str) -> pd.DataFrame:
             "content_key", pa.array(hash_strings64(col), pa.int64())
         )
 
-    ds = _read(
-        f"{sf_dir}/documents.parquet",
-        columns=["doc_id", "source", "n_chars", "text"],
-    ).map_batches(
-        token_count_stage, batch_format="pyarrow", zero_copy_batch=True
-    ).map_batches(
+    base = _read(
+        path, columns=["doc_id", "source", "n_chars", "text"]
+    ).map_batches(ws_tokens, batch_format="pyarrow", zero_copy_batch=True)
+    keyed = base.map_batches(
         add_key, batch_format="pyarrow", zero_copy_batch=True
     ).select_columns(
         ["doc_id", "source", "n_chars", "n_tokens_ws", "content_key"]
     )
-    deduped = keep_first_by(ds, group_col="content_key", order_col="doc_id")
-    kept, _thr = quantile_threshold_filter(deduped, col="n_tokens_ws", q=0.25)
+    # filter_ds skips re-running the content hash on the winner-filter
+    # pass; n_rows_hint skips the sizing round (same as _dedup_keep_first)
+    deduped = keep_first_by(
+        keyed, group_col="content_key", order_col="doc_id",
+        n_rows_hint=n_rows,
+        filter_ds=base.select_columns(
+            ["doc_id", "source", "n_chars", "n_tokens_ws"]
+        ),
+    )
+    # the two data-dependent-threshold ops below re-execute their input
+    # lineage (2 + 3 passes); cache the NARROW post-dedup projection
+    # once so those passes replay 4 int/str columns, not the text read +
+    # regex + hash (at petabyte scale: write this projection to parquet
+    # instead, per budget_select's docstring)
+    slim = deduped.materialize()
+    kept, _thr = quantile_threshold_filter(slim, col="n_tokens_ws", q=0.25)
     sel = budget_select(
         kept, score_col="n_chars", token_col="n_tokens_ws",
         budget=lambda total: total // 10,
@@ -1725,7 +1748,14 @@ def _curation_end_to_end(sf_dir: str) -> pd.DataFrame:
         Count(alias_name="n_docs"),
         Sum("n_tokens_ws", alias_name="n_tokens"),
     )
-    df = agg.to_pandas().sort_values("source").reset_index(drop=True)
+    df = agg.to_pandas()
+    if not len(df):  # empty corpus / zero budget: to_pandas drops columns
+        return pd.DataFrame({
+            "source": pd.Series([], dtype="object"),
+            "n_docs": pd.Series([], dtype="int64"),
+            "n_tokens": pd.Series([], dtype="int64"),
+        })
+    df = df.sort_values("source").reset_index(drop=True)
     df["n_docs"] = df["n_docs"].astype("int64")
     df["n_tokens"] = df["n_tokens"].astype("int64")
     return df[["source", "n_docs", "n_tokens"]]

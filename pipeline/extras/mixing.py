@@ -189,7 +189,14 @@ def temperature_targets(
     total = int(w.sum())
     out = counts[[key_col]].copy()
     out["w"] = w
-    out["k"] = (n_target * w) // total if total else 0
+    # n_target * w in PYTHON ints: exact at any magnitude (int64 would
+    # silently wrap to negative k around n_target*sqrt(n)*1e6 ~ 2^63,
+    # the overflow class asof_join/_GLEN_BITS guard against loudly)
+    out["k"] = (
+        [(int(n_target) * int(x)) // total for x in w] if total
+        else np.int64(0)
+    )
+    out["k"] = out["k"].astype("int64")
     return out
 
 

@@ -116,8 +116,6 @@ def test_doc_ppl_quantiles_query_exact_regime(ray_session):
     """At sf0.001 the corpus is far below K=4096, so the sketch is in
     its exact regime: the query's quantiles must equal quantile_disc
     over the identically-scored perplexities computed driver-side."""
-    import ray as _ray
-
     import __ray_entry__ as entrymod
     from pipeline.quality.perplexity import PerplexityModel
 
