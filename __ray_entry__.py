@@ -1635,6 +1635,10 @@ def _corpus_budget_select(sf_dir: str) -> pd.DataFrame:
     ).map_batches(
         token_count_stage, batch_format="pyarrow", zero_copy_batch=True
     ).select_columns(["doc_id", "source", "n_chars", "n_tokens_ws"])
+    # budget_select replays its input lineage 3x (histogram, boundary,
+    # verdict); cache the narrow projection so the replays skip the
+    # text read + token regexes (petabyte scale: parquet instead)
+    ds = ds.materialize()
 
     sel = budget_select(
         ds, score_col="n_chars", token_col="n_tokens_ws",
