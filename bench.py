@@ -144,6 +144,15 @@ def run_queries() -> dict[str, float]:
 def main() -> None:
     import ray
 
+    try:
+        # ambient load BEFORE the bench adds its own (BASELINE.md
+        # variance section: this box is hypervisor-clamped in some
+        # hours; launch load tells a reader which regime a recorded
+        # number came from)
+        launch_load = [round(x, 2) for x in os.getloadavg()]
+    except OSError:
+        launch_load = None
+
     # Ray's default undersizes the object store on this box (42.9% of
     # RAM, warned on every run); 50% is its own recommendation
     os.environ.setdefault("RAY_DEFAULT_OBJECT_STORE_MEMORY_PROPORTION", "0.5")
@@ -190,6 +199,7 @@ def main() -> None:
     )
     ray.shutdown()
 
+    host = {"launch_loadavg": launch_load} if launch_load is not None else {}
     print(json.dumps({
         "metric": "flagship quality-filter+scrub wall time (read->langid->ppl->heuristics->scrub->decide->write + repo stats)",
         "value": round(headline["headline_sec"], 3),
@@ -201,6 +211,7 @@ def main() -> None:
         "files_per_sec": round(headline["files_per_sec"], 1),
         "mb_per_sec": round(headline["mb_per_sec"], 2),
         "stages": headline["stages"],
+        **host,
     }))
 
 
