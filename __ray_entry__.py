@@ -554,6 +554,27 @@ def _scrub_documents(sf_dir: str) -> pd.DataFrame:
     return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
+def _pii_corpus_dir(sf_dir: str) -> str:
+    """Deterministic PII-bearing conformance corpus under /tmp (cached).
+    Capped: the evidence (nonzero spans, all-rows sha parity) doesn't
+    sharpen past ~2k rows, and row generation (rejection resampling) is
+    the dominant cost; use_ray parallelizes it (per-row keyed RNG keeps
+    the rows byte-identical to the sequential path)."""
+    import os
+
+    from pipeline.synth.corpus import write_conformance_table
+
+    n = min(2000, max(200, _n_docs(sf_dir)))
+    corpus_dir = f"/tmp/graft_pii_corpus_{n}"
+    if not os.path.isdir(corpus_dir):
+        write_conformance_table(corpus_dir + ".tmp", n, n_files=4, use_ray=True)
+        try:
+            os.rename(corpus_dir + ".tmp", corpus_dir)
+        except OSError:
+            pass  # concurrent writer won; content is deterministic
+    return corpus_dir
+
+
 def _scrub_pii_corpus(sf_dir: str) -> pd.DataFrame:
     """Recall-side evidence for the scrub operator on PII-BEARING text.
 
@@ -566,28 +587,12 @@ def _scrub_pii_corpus(sf_dir: str) -> pd.DataFrame:
     check (the corpus is not a registered DuckDB view); recall is
     evidenced by sum(n_pii_spans) > 0 with sha_match all-true
     (asserted in tests/test_conformance.py as well)."""
-    import os
-
     import pyarrow.compute as pc
 
-    from pipeline.ray_pipeline import conformance_pipeline
-    from pipeline.synth.corpus import write_conformance_table
-
-    # capped: the evidence (nonzero spans, all-rows sha parity) doesn't
-    # sharpen past ~2k rows, and row generation (rejection resampling) is
-    # the dominant cost; use_ray parallelizes it (per-row keyed RNG keeps
-    # the rows byte-identical to the sequential path)
-    n = min(2000, max(200, _n_docs(sf_dir)))
-    corpus_dir = f"/tmp/graft_pii_corpus_{n}"
-    if not os.path.isdir(corpus_dir):
-        write_conformance_table(corpus_dir + ".tmp", n, n_files=4, use_ray=True)
-        try:
-            os.rename(corpus_dir + ".tmp", corpus_dir)
-        except OSError:
-            pass  # concurrent writer won; content is deterministic
-    import ray.data as rd
-
     from pipeline._util import clean_batch
+    from pipeline.ray_pipeline import conformance_pipeline
+
+    corpus_dir = _pii_corpus_dir(sf_dir)
 
     ds = _read(
         corpus_dir, columns=["doc_id", "text", "expected_sha256"]
@@ -1780,6 +1785,37 @@ def _docs_temperature_sample(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _pii_entity_stats(sf_dir: str) -> pd.DataFrame:
+    """Corpus-level per-entity-type PII counts — the A3 entity-count
+    analysis at corpus scale (pipeline/ray_pipeline.entity_count_stage):
+    trigger-prescreened detection emits per-batch (label, n) combiner
+    rows; the groupby shuffles the 9-entity vocabulary, never text.
+    Rows-only (the detector has no SQL form); per-label parity against
+    the sequential oracle detector is asserted in
+    tests/test_conformance.py."""
+    from ray.data.aggregate import Sum
+
+    from pipeline._util import clean_batch
+    from pipeline.ray_pipeline import entity_count_stage
+
+    corpus_dir = _pii_corpus_dir(sf_dir)
+    ds = _read(corpus_dir, columns=["text"]).map_batches(
+        clean_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+    out = (
+        ds.map_batches(
+            entity_count_stage, batch_format="pyarrow",
+            fn_kwargs={"column": "text", "profile": "conformance"},
+            zero_copy_batch=True,
+        )
+        .groupby("label")
+        .aggregate(Sum("n", alias_name="n_spans"))
+    )
+    df = out.to_pandas().sort_values("label").reset_index(drop=True)
+    df["n_spans"] = df["n_spans"].astype("int64")
+    return df[["label", "n_spans"]]
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "doc_length_stats": _doc_length_stats,
@@ -1848,6 +1884,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_ppl_quantiles": _doc_ppl_quantiles,
         "curation_end_to_end": _curation_end_to_end,
         "docs_temperature_sample": _docs_temperature_sample,
+        "pii_entity_stats": _pii_entity_stats,
     }
 
 

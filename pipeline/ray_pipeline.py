@@ -208,6 +208,53 @@ def scrub_stage(batch: pa.Table, *, column: str = "content", profile: str = "cod
     return batch.append_column("content_sha256", pa.array(hashes, pa.string()))
 
 
+def entity_count_stage(
+    batch: pa.Table, *, column: str = "content", profile: str = "code",
+) -> pa.Table:
+    """Per-batch partial PII entity-type counts — the corpus-level
+    analog of the reference's per-label entity analysis
+    [evaluation/model_evaluation.py entity_counts; metrics.py A3].
+    Same trigger-group Arrow prescreen as scrub_stage (detect_spans
+    runs only on rows whose group trigger fired); emits tiny
+    (label, n) combiner rows, so a downstream groupby(label).sum
+    shuffles the 9-entity vocabulary, never documents."""
+    from collections import Counter
+
+    import pyarrow.compute as pc
+
+    from pipeline.detect.detector import detect_spans
+    from pipeline.detect.patterns import get_trigger_groups
+
+    batch = clean_batch(batch)
+    col = batch[column]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    groups = get_trigger_groups(profile)
+    counts: Counter = Counter()
+    if n:
+        masks = np.stack([
+            pc.match_substring_regex(col, trig).to_numpy(zero_copy_only=False)
+            for _, trig, _ in groups
+        ])
+        any_mask = masks.any(axis=0)
+        if any_mask.any():
+            idx = np.nonzero(any_mask)[0]
+            texts = col.take(pa.array(idx)).to_pylist()
+            for j, i in enumerate(idx):
+                specs = [
+                    s for g, (_, _, sp) in enumerate(groups) if masks[g, i]
+                    for s in sp
+                ]
+                for span in detect_spans(texts[j], profile, specs=specs):
+                    counts[span.label] += 1
+    labels = sorted(counts)
+    return pa.table({
+        "label": pa.array(labels, pa.string()),
+        "n": pa.array([counts[la] for la in labels], pa.int64()),
+    })
+
+
 def drop_raw_content_stage(batch: pa.Table, *, column: str = "content") -> pa.Table:
     """100-TB sink projection: replace the raw content column with its
     byte length (all downstream consumers — repo_stats, ledger, metrics —

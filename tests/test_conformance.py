@@ -172,3 +172,27 @@ def test_scrub_pii_corpus_query_recall_evidence(ray_session):
     assert len(df) >= 200
     assert int(df["n_pii_spans"].sum()) > 0
     assert bool(df["sha_match"].all())
+
+
+def test_pii_entity_stats_matches_sequential_detector(ray_session):
+    """Corpus-level per-label counts from the distributed
+    entity_count_stage must equal a sequential detect_spans sweep over
+    the same cached corpus — the A3 entity-count analysis at corpus
+    scale, label for label."""
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as entrymod
+    from pipeline.detect.detector import detect_spans
+
+    got = entrymod.queries()["pii_entity_stats"]("/root/testdata/sf0.001")
+    assert got["n_spans"].sum() > 0  # recall-side: corpus bears PII
+
+    corpus_dir = entrymod._pii_corpus_dir("/root/testdata/sf0.001")
+    texts = pq.read_table(corpus_dir, columns=["text"])["text"].to_pylist()
+    want: Counter = Counter()
+    for t in texts:
+        for sp in detect_spans(t, "conformance"):
+            want[sp.label] += 1
+    assert dict(zip(got["label"], got["n_spans"])) == dict(want)
