@@ -17,12 +17,13 @@ compress, so error grows with MERGE TREE DEPTH, not corpus size:
     per-block summaries (map_batches, parallel)      error W_b/(2K) each
     -> binary-tree fold of the B block summaries     + ceil(log2 B) * W/(2K)
 
-``sketch_quantiles`` collects the per-block summaries driver-side
-(B*K*16 bytes — 16 MB at 1k blocks / K=1024) and tree-folds them; past
-~100k blocks insert a repartition + per-partition merge level (same
-merge fn) to keep the driver pull flat — noted, not needed at sandbox
-scale.  The fold is balanced, so the error bound stays logarithmic even
-though the driver does the final merges.
+``sketch_quantiles`` first collapses the per-block summaries with an
+IN-CLUSTER merge level (``map_batches`` over summary rows, fan
+``_MERGE_FAN`` — each task pairwise-folds its fan-in), so the driver
+pulls B/fan summaries instead of B (at 100k blocks and K=1024 that is
+25 MB instead of 1.6 GB), then finishes with a balanced binary fold.
+Every fold is pairwise-balanced, so the total error bound stays
+logarithmic in B.
 
 When total rows n <= K no compression ever happens and the result is
 EXACT (rank = ceil(q*n), DuckDB quantile_disc semantics) — tested; the
@@ -78,11 +79,39 @@ def summary_quantile(summary, q: float) -> float:
     return float(v[min(i, len(v) - 1)])
 
 
+_MERGE_FAN = 64  # summaries folded per in-cluster merge task
+
+
+def _fold_pairwise(parts: list, k: int) -> list:
+    """One balanced pairwise fold level (halves the list)."""
+    return [
+        merge_summaries(parts[i], parts[i + 1], k)
+        if i + 1 < len(parts) else parts[i]
+        for i in range(0, len(parts), 2)
+    ]
+
+
+def _rows_to_parts(t: pa.Table) -> list:
+    return [
+        (np.frombuffer(vb.as_py(), dtype=np.float64),
+         np.frombuffer(wb.as_py(), dtype=np.float64))
+        for vb, wb in zip(t["v"], t["w"])
+    ]
+
+
+def _parts_to_rows(parts: list) -> pa.Table:
+    return pa.table({
+        "v": pa.array([v.tobytes() for v, _ in parts], pa.binary()),
+        "w": pa.array([w.tobytes() for _, w in parts], pa.binary()),
+    })
+
+
 def sketch_quantiles(
     ds: "ray.data.Dataset", col: str, qs: list[float], k: int = DEFAULT_K,
 ) -> list[float]:
     """Distributed sketch quantiles of ``ds[col]``: per-block summaries
-    in parallel, balanced binary-tree fold on the driver.  Result is
+    in parallel, one in-cluster merge level (fan _MERGE_FAN), balanced
+    binary-tree fold of the survivors on the driver.  Result is
     layout-deterministic (same blocks -> same answer; the same caveat
     as the k-means reduce) and exact whenever total rows <= k."""
 
@@ -92,28 +121,25 @@ def sketch_quantiles(
             col_arr = col_arr.combine_chunks()
         vals = col_arr.to_numpy(zero_copy_only=False).astype(np.float64)
         v, w = summary_from_values(vals[~np.isnan(vals)], k)
-        return pa.table({
-            "v": pa.array([v.tobytes()], pa.binary()),
-            "w": pa.array([w.tobytes()], pa.binary()),
-        })
+        return _parts_to_rows([(v, w)])
 
-    parts = []
+    def merge_level(t: pa.Table, _k=k) -> pa.Table:
+        parts = _rows_to_parts(t)
+        while len(parts) > 1:  # balanced fold WITHIN the task
+            parts = _fold_pairwise(parts, _k)
+        return _parts_to_rows(parts)
+
     blocks = ds.map_batches(
         block_summary, batch_format="pyarrow", zero_copy_batch=True
+    ).map_batches(
+        merge_level, batch_format="pyarrow", batch_size=_MERGE_FAN,
+        zero_copy_batch=True,
     )
+    parts = []
     for b in blocks.iter_batches(batch_size=None, batch_format="pyarrow"):
-        for vb, wb in zip(b["v"], b["w"]):
-            parts.append((
-                np.frombuffer(vb.as_py(), dtype=np.float64),
-                np.frombuffer(wb.as_py(), dtype=np.float64),
-            ))
+        parts.extend(_rows_to_parts(b))
     if not parts:
         return [float("nan")] * len(qs)
-    # balanced fold: error grows with ceil(log2 B), not B
     while len(parts) > 1:
-        parts = [
-            merge_summaries(parts[i], parts[i + 1], k)
-            if i + 1 < len(parts) else parts[i]
-            for i in range(0, len(parts), 2)
-        ]
+        parts = _fold_pairwise(parts, k)
     return [summary_quantile(parts[0], q) for q in qs]

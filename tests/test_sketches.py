@@ -129,3 +129,18 @@ def test_doc_ppl_quantiles_query_exact_regime(ray_session):
     ppl = np.array([model.score_one(t) for t in texts])
     for q, v in zip(got["q"], got["perplexity"]):
         assert v == entrymod._round_ha(_exact_disc(ppl, q), 3), q
+
+
+def test_in_cluster_merge_level_exact_regime_many_blocks(ray_session):
+    """With > _MERGE_FAN... well, many blocks, the in-cluster merge
+    level must not change the exact-regime answer (total rows <= K)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pipeline.extras.sketches import sketch_quantiles
+
+    rng = np.random.RandomState(9)
+    vals = rng.rand(600)
+    ds = rd.from_arrow(pa.table({"x": pa.array(vals)})).repartition(40)
+    got = sketch_quantiles(ds, "x", [0.1, 0.5, 0.9], k=1024)
+    assert got == [_exact_disc(vals, q) for q in (0.1, 0.5, 0.9)]
