@@ -1,0 +1,74 @@
+"""End-to-end smoke of the `ray job submit` surface: each CLI command
+runs in a FRESH subprocess that owns its own Ray session (exactly how
+a job driver runs it), chained synth -> run -> resume -> stats ->
+metrics through real parquet on disk."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _cli(*args: str) -> dict:
+    env = dict(
+        os.environ,
+        RAY_ADDRESS="local",
+        PYTHONPATH=REPO,
+    )
+    out = subprocess.run(
+        [sys.executable, "-m", "pipeline.cli", *args],
+        capture_output=True, text=True, check=True, cwd=REPO, env=env,
+        timeout=240,
+    ).stdout
+    return json.loads(out.strip().splitlines()[-1])
+
+
+@pytest.fixture(scope="module")
+def cli_dirs():
+    base = "/tmp/graft_cli_smoke"
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base)
+    yield {
+        "input": f"{base}/code",
+        "output": f"{base}/scrubbed",
+        "stats": f"{base}/stats",
+        "metrics": f"{base}/METRICS.json",
+    }
+    shutil.rmtree(base, ignore_errors=True)
+
+
+def test_cli_run_resume_stats_metrics(cli_dirs):
+    d = cli_dirs
+    synth = _cli("synth-code", "--out", d["input"], "--rows", "1200",
+                 "--files", "4")
+    assert synth["rows"] == 1200
+    # Ray may coalesce small writes: partitions == actual parquet files
+    import glob
+
+    n_parts = len(glob.glob(f"{d['input']}/*.parquet"))
+    assert n_parts >= 1
+
+    run = _cli("run", "--input", d["input"], "--output", d["output"])
+    assert run["partitions_run"] == n_parts and run["partitions_skipped"] == 0
+    # total_rows counts rows WRITTEN, i.e. after the keep/drop filter
+    assert 0 < run["total_rows"] <= 1200
+
+    # resume over a completed output is a no-op: all partitions committed
+    resume = _cli("resume", "--input", d["input"], "--output", d["output"])
+    assert resume["partitions_run"] == 0
+    assert resume["partitions_skipped"] == n_parts
+
+    stats = _cli("stats", "--scrubbed", d["output"], "--output", d["stats"])
+    assert stats["repos"] > 0
+
+    metrics = _cli("metrics", "--n", "200", "--out", d["metrics"])
+    assert metrics["f1"] >= 0.99  # north-rule bar on the honest corpus
+    report = json.load(open(d["metrics"]))
+    assert report["token_accuracy"] > 0.9
