@@ -49,14 +49,20 @@ def _read(path: str, columns: list[str] | None = None):
     import pyarrow.parquet as pq
     import ray.data as rd
 
-    first = path
-    p = Path(path)
-    if p.is_dir():
-        cands = sorted(p.glob("*.parquet"))
-        first = str(cands[0]) if cands else path
-    sch = pq.ParquetFile(first).schema_arrow.remove_metadata()
-    if columns is not None:
-        sch = pa.schema([sch.field(c) for c in columns])
+    try:
+        first = path
+        p = Path(path)
+        if p.is_dir():
+            cands = sorted(p.glob("*.parquet"))
+            first = str(cands[0]) if cands else path
+        sch = pq.ParquetFile(first).schema_arrow.remove_metadata()
+        if columns is not None:
+            sch = pa.schema([sch.field(c) for c in columns])
+    except Exception:
+        # schema sniff is an optimization (hashable block schemas); a
+        # path the sniff can't open (remote FS, odd layout) must still
+        # read — same graceful fallback as ray_pipeline.read_code_table
+        return rd.read_parquet(path, columns=columns)
     return rd.read_parquet(path, schema=sch, columns=columns)
 
 
@@ -1080,7 +1086,12 @@ def _bench_docs(sf_dir: str) -> pd.DataFrame:
         df = t.to_pandas().sort_values(
             ["n_chars", "doc_id"], ascending=[False, True]
         )
-        return pa.Table.from_pandas(df.head(10), preserve_index=False)
+        # strip the pandas metadata from_pandas attaches: dict-valued
+        # metadata makes pa.Schema unhashable and defeats Ray's
+        # block-schema dedup (same fix as partition._repo_partials)
+        return pa.Table.from_pandas(
+            df.head(10), preserve_index=False
+        ).replace_schema_metadata(None)
 
     cand = (
         _docs(sf_dir)
@@ -2178,7 +2189,9 @@ def oracle_sql() -> dict[str, str]:
         "doc_pack_bins": """
             WITH RECURSIVE toks AS (
                 SELECT source, doc_id,
-                       length(string_split(trim(text), ' ')) AS n_tok
+                       CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                       END AS n_tok
                 FROM documents
             ), ordered AS (
                 SELECT source, doc_id, n_tok,

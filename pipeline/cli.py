@@ -25,12 +25,19 @@ def _init_ray():
 
     if not ray.is_initialized():
         # under `ray job submit` the job must JOIN the cluster, not start
-        # a private local instance: honor RAY_ADDRESS (preset to "local"
-        # in the test sandbox), falling back to auto-discovery
-        ray.init(
-            address=os.environ.get("RAY_ADDRESS", "auto"),
-            include_dashboard=False, logging_level="ERROR",
-        )
+        # a private local instance: honor RAY_ADDRESS; with no address
+        # set, try auto-discovery and fall back to a private local
+        # instance (address="auto" RAISES with no running cluster, which
+        # would break every standalone CLI invocation)
+        kw = dict(include_dashboard=False, logging_level="ERROR")
+        addr = os.environ.get("RAY_ADDRESS")
+        if addr:
+            ray.init(address=addr, **kw)
+        else:
+            try:
+                ray.init(address="auto", **kw)
+            except ConnectionError:
+                ray.init(address="local", **kw)
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False

@@ -32,6 +32,8 @@ steps from converged).
 
 from __future__ import annotations
 
+import logging
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -40,6 +42,8 @@ import ray
 import ray.data
 
 from pipeline.extras.ann import _norm_rows, _sample_matrix, _to_matrix
+
+logger = logging.getLogger(__name__)
 
 
 def _seed_farthest(sample: np.ndarray, k: int) -> np.ndarray:
@@ -166,6 +170,13 @@ def semantic_dedup(
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) > MAX_EMB_BUCKET:
+            logger.warning(
+                "semantic_dedup: cluster %s holds %d members; pair scan "
+                "truncated to the %d smallest ids (members beyond the cap "
+                "are implicitly kept) — raise k to shrink clusters",
+                g["cluster_id"].iloc[0] if "cluster_id" in g else "?",
+                len(g), MAX_EMB_BUCKET,
+            )
             g = g.sort_values(id_col).head(MAX_EMB_BUCKET)
         ids = g[id_col].to_numpy().astype(np.int64)
         m = _norm_rows(np.stack(g[vec_col].to_numpy()).astype(np.float64))

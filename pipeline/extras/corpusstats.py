@@ -47,15 +47,22 @@ def term_freq_partial(batch: pa.Table, *, text_col: str = "text",
     """Per-batch combiner: (term, n_occ, n_docs) partial counts.
 
     Tokenization is a plain single-space split (matching DuckDB
-    ``string_split(text, ' ')`` for the oracle); doc frequency is exact
-    because a document is one row and never straddles batches.
+    ``string_split(text, ' ')`` for the oracle); doc frequency counts
+    distinct ``doc_col`` values when the column is present (exact even
+    if a document spans several rows WITHIN a batch — a doc must still
+    never straddle batches), else distinct batch rows (one row = one
+    doc).
     """
     toks = pc.split_pattern(batch[text_col], " ")
     flat = pc.list_flatten(toks)
     parents = pc.list_parent_indices(toks)
+    if doc_col in batch.column_names:
+        docs = batch[doc_col].take(parents).to_pandas()
+    else:
+        docs = parents.to_pandas()
     df = pd.DataFrame({
         "term": flat.to_pandas(),
-        "_doc": parents.to_pandas(),
+        "_doc": docs,
     })
     df = df[df["term"] != ""]
     occ = df.groupby("term", sort=False).agg(
@@ -478,32 +485,45 @@ def groupwise_zscore(
        expression — no libm, no order-dependent float reduction.
 
     Groups with zero variance emit 0.0 (not NaN/inf).  ``val_col`` must
-    be integer; sum/sumsq stay exact up to 2^63 (guarded)."""
+    be integer; per-row squares are multiply_checked and the SUMS are
+    guarded by the exact bound n * max(v^2) < 2^63 per group (checked
+    in Python ints after the reduce — Arrow integer sums wrap silently,
+    so a bound check, not the sum itself, is the only sound guard)."""
     import ray as _ray
-    from ray.data.aggregate import Sum
+    from ray.data.aggregate import Max, Sum
 
     def moments(t: pa.Table) -> pa.Table:
         v = t[val_col]
         v2 = pc.multiply_checked(v, v)  # raises on int64 overflow
         g = pa.table({key_col: t[key_col], "_s": v, "_s2": v2}).group_by(
             key_col
-        ).aggregate([("_s", "sum"), ("_s2", "sum"), ([], "count_all")])
+        ).aggregate([
+            ("_s", "sum"), ("_s2", "sum"), ("_s2", "max"), ([], "count_all"),
+        ])
         return pa.table({
             key_col: g[key_col],
             "n": pc.cast(g["count_all"], pa.int64()),
             "s": pc.cast(g["_s_sum"], pa.int64()),
             "s2": pc.cast(g["_s2_sum"], pa.int64()),
+            "m2": pc.cast(g["_s2_max"], pa.int64()),
         })
 
     mom = (
         ds.map_batches(moments, batch_format="pyarrow", zero_copy_batch=True)
         .groupby(key_col)
         .aggregate(Sum("n", alias_name="n"), Sum("s", alias_name="s"),
-                   Sum("s2", alias_name="s2"))
+                   Sum("s2", alias_name="s2"), Max("m2", alias_name="m2"))
         .to_pandas()
         .sort_values(key_col)
         .reset_index(drop=True)
     )
+    for k, nn, m2 in zip(mom[key_col], mom["n"], mom["m2"]):
+        if int(nn) * int(m2) >= 2 ** 63:
+            raise ValueError(
+                f"groupwise_zscore: group {k!r} has n*max(v^2) = "
+                f"{int(nn) * int(m2)} >= 2^63; the int64 sum of squares "
+                f"would wrap silently — rescale the signal first"
+            )
     keys = mom[key_col].to_numpy()
     n = mom["n"].to_numpy().astype(np.float64)
     mean = mom["s"].to_numpy().astype(np.float64) / n

@@ -226,8 +226,23 @@ def _members_driver(bands: "ray.data.Dataset", keys: list[str]) -> pd.DataFrame:
     rows. No materialize, no groupby barrier, no second corpus pass —
     the old shape (materialize + key-count pass + filter pass) cost ~3
     fixed execution rounds per sketch query at bench scale. Only used
-    below DRIVER_REDUCE_MAX_ROWS band rows."""
-    cols = bands.schema().names
+    below DRIVER_REDUCE_MAX_ROWS band rows.
+
+    The 8 B/row blob packing requires every column to be integer (band
+    keys always are — they're hashes); a non-integer id column (string
+    doc ids) falls back to a plain single-pass to_pandas pull — same
+    one-round shape, Arrow-backed columns, no Python row objects."""
+    schema = bands.schema()
+    cols = schema.names
+    if not all(pa.types.is_integer(t) for t in schema.types):
+        df = bands.to_pandas()
+        if not len(df):
+            return pd.DataFrame(columns=cols)
+        acc = np.zeros(len(df), dtype=np.int64)
+        for k in keys:
+            acc = (acc * _MIX) + df[k].to_numpy().astype(np.int64)
+        _, inv, counts = np.unique(acc, return_inverse=True, return_counts=True)
+        return df[counts[inv] > 1].reset_index(drop=True)
     blobs = bands.map_batches(
         lambda t: pa.table({
             c: [t[c].to_numpy(zero_copy_only=False).astype(np.int64).tobytes()]

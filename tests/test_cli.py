@@ -72,3 +72,18 @@ def test_cli_run_resume_stats_metrics(cli_dirs):
     assert metrics["f1"] >= 0.99  # north-rule bar on the honest corpus
     report = json.load(open(d["metrics"]))
     assert report["token_accuracy"] > 0.9
+
+
+def test_cli_standalone_without_ray_address(cli_dirs):
+    """With RAY_ADDRESS unset and no cluster running, the CLI must fall
+    back to a private local Ray instance (address='auto' alone raises
+    ConnectionError), keeping every command usable standalone."""
+    env = {k: v for k, v in os.environ.items() if k != "RAY_ADDRESS"}
+    env["PYTHONPATH"] = REPO
+    out = subprocess.run(
+        [sys.executable, "-m", "pipeline.cli", "metrics", "--n", "64",
+         "--out", cli_dirs["metrics"] + ".standalone"],
+        capture_output=True, text=True, check=True, cwd=REPO, env=env,
+        timeout=240,
+    ).stdout
+    assert json.loads(out.strip().splitlines()[-1])["f1"] >= 0.99

@@ -1165,3 +1165,61 @@ def test_temperature_sample_deterministic_and_bounded(ray_session):
     assert per.sum() <= 30
     # sqrt damping: 5x rows -> ~sqrt(5)x sample, nowhere near 5x
     assert per["big"] / per["small"] < 3
+
+
+def test_minhash_string_doc_ids_driver_path(ray_session):
+    """The driver regime's blob packing is int64-only; string doc ids
+    must take the to_pandas fallback and still find planted dups."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pipeline.extras.dedup import minhash_lsh_pairs
+
+    texts = [f"some document body number {i} with shared words" for i in range(30)]
+    ids = [f"doc-{i:03d}" for i in range(30)]
+    # plant exact dups of the first five docs
+    texts += texts[:5]
+    ids += [f"dup-{i:03d}" for i in range(5)]
+    ds = rd.from_arrow(pa.table({"doc_id": pa.array(ids), "text": pa.array(texts)}))
+    pairs = minhash_lsh_pairs(ds, threshold=0.6).to_pandas()
+    got = set(zip(pairs["a"], pairs["b"]))
+    for i in range(5):
+        assert (f"doc-{i:03d}", f"dup-{i:03d}") in got
+
+
+def test_groupwise_zscore_overflow_guard(ray_session):
+    """n * max(v^2) >= 2^63 must raise loudly instead of wrapping the
+    int64 sum of squares into garbage z-scores."""
+    import pyarrow as pa
+    import pytest as _pytest
+    import ray.data as rd
+
+    from pipeline.extras.corpusstats import groupwise_zscore
+
+    big = 2_000_000_000  # v^2 = 4e18; x3 rows -> 1.2e19 > 2^63
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "src": pa.array(["a"] * 3),
+        "v": pa.array([big, big, big], pa.int64()),
+    })
+    with _pytest.raises(ValueError, match="2\\^63"):
+        groupwise_zscore(
+            rd.from_arrow(t), key_col="src", val_col="v"
+        ).materialize()
+
+
+def test_term_freq_doc_frequency_uses_doc_col(ray_session):
+    """Two rows sharing a doc_id: document frequency must count ONE doc
+    for a term appearing in both rows."""
+    import pyarrow as pa
+
+    from pipeline.extras.corpusstats import term_freq_partial
+
+    t = pa.table({
+        "doc_id": pa.array([7, 7, 8], pa.int64()),
+        "text": pa.array(["foo bar", "foo baz", "foo"]),
+    })
+    out = term_freq_partial(t)
+    row = {r["term"]: (r["n_occ"], r["n_docs"]) for r in out.to_pylist()}
+    assert row["foo"] == (3, 2)  # 3 occurrences, docs {7, 8}
+    assert row["bar"] == (1, 1)
