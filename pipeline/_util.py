@@ -87,3 +87,22 @@ def clip_segments(data, off, clip: int):
     pos = np.arange(total, dtype=np.int64) - np.repeat(out_off[:-1], lens_c)
     idx = np.repeat(off[:-1], lens_c) + pos
     return data[idx], out_off
+
+
+def segment_sums(vals, rel, dtype=None):
+    """Per-segment sums of `vals` over the contiguous segments
+    [rel[i], rel[i+1]); empty segments yield 0.  The reduceat invariant
+    lives HERE and only here: never clamp start indices into range —
+    reduceat sums [ind[i], ind[i+1]), so pulling an empty segment's
+    out-of-range start DOWN truncates the PRECEDING segment's sum.
+    Index only the starts of non-empty segments: they are strictly
+    increasing, all in range, and tile the buffer, so reduceat returns
+    exactly those segments' sums (the last one running to the end)."""
+    import numpy as np
+
+    lens = np.diff(rel)
+    out = np.zeros(len(lens), dtype=dtype or vals.dtype)
+    nz = lens > 0
+    if nz.any():
+        out[nz] = np.add.reduceat(vals, rel[:-1][nz], dtype=out.dtype)
+    return out

@@ -16,6 +16,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from pipeline._util import segment_sums as _segment_sums
 from pipeline._util import string_buffers as _string_buffers
 
 _ALNUM_LUT = np.zeros(256, dtype=np.uint8)
@@ -53,22 +54,12 @@ def _alnum_counts(arr: pa.Array) -> np.ndarray:
     char-level count because [A-Za-z0-9] are single-byte in UTF-8 and
     non-ASCII bytes are >= 0x80 (LUT 0)."""
     off, data = _string_buffers(arr)
-    out = np.zeros(len(arr), dtype=np.int64)
-    lens = np.diff(off)
-    nz = lens > 0
-    if not nz.any():
-        return out
     # segment reduceat (int64 accumulator) instead of a full-stream
-    # cumsum: same exact integer sums, no len(data)-sized int64 output.
-    # Indices are the starts of NON-EMPTY segments only: they are strictly
-    # increasing and, because segments tile [off[0], off[-1]], reduceat
-    # over the sliced buffer yields exactly those segments' sums (clamping
-    # empty-segment starts instead would truncate the preceding segment).
-    rel = off - off[0]
-    out[nz] = np.add.reduceat(
-        _ALNUM_LUT[data[off[0]: off[-1]]], rel[:-1][nz], dtype=np.int64
+    # cumsum: same exact integer sums, no len(data)-sized int64 output;
+    # the empty-segment reduceat invariant lives in _util.segment_sums.
+    return _segment_sums(
+        _ALNUM_LUT[data[off[0]: off[-1]]], off - off[0], dtype=np.int64
     )
-    return out
 
 
 def _line_hashes(flat: pa.Array) -> np.ndarray:
@@ -78,22 +69,15 @@ def _line_hashes(flat: pa.Array) -> np.ndarray:
     ~2^-62 per pair, on par with the engine's other hash-based ops."""
     off, data = _string_buffers(flat)
     lens = np.diff(off)
-    if len(data) == 0:
-        return lens * np.int64(0x9E3779B9)  # all-empty lines: hash by len
     pos = np.arange(off[0], off[-1], dtype=np.int64) - np.repeat(
         off[:-1], lens
     )
     w = _HASH_W[pos & 0xFFFF] + (pos >> 16) * _BLOCK_MULT
     vals = data[off[0]: off[-1]].astype(np.int64) * w
     # segment reduceat == the previous cumsum-diff bit-for-bit (int64
-    # addition is associative-exact under wraparound). Indices are the
-    # starts of NON-EMPTY segments only (strictly increasing, tile the
-    # sliced buffer) — empty lines keep the 0 sum the diff produced.
-    seg = np.zeros(len(lens), dtype=np.int64)
-    nz = lens > 0
-    if nz.any():
-        rel = off - off[0]
-        seg[nz] = np.add.reduceat(vals, rel[:-1][nz])
+    # addition is associative-exact under wraparound); empty lines keep
+    # the 0 sum the diff produced (invariant in _util.segment_sums).
+    seg = _segment_sums(vals, off - off[0], dtype=np.int64)
     return seg * np.int64(31) + lens
 
 

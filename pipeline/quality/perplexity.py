@@ -57,8 +57,8 @@ def _codes(text: str) -> np.ndarray:
     )
     c = _FOLD[b]
     if c.size < 3:
-        return np.empty(0, dtype=np.int64)
-    return c[:-2] * V * V + c[1:-1] * V + c[2:]
+        return np.empty(0, dtype=np.int32)  # match the normal path's dtype
+    return (c[:-2] * V + c[1:-1]) * V + c[2:]  # Horner, same as scoring
 
 
 class PerplexityModel:

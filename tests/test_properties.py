@@ -176,3 +176,20 @@ def test_bigram_partial_matches_naive(texts):
                 k = f"{a} {b}"
                 exp[k] = exp.get(k, 0) + 1
     assert got == exp
+
+
+def test_segment_sums_edges():
+    """The shared reduceat helper: empty segments (leading, interior,
+    trailing) stay 0 and never truncate a neighbor."""
+    import numpy as np
+
+    from pipeline._util import segment_sums
+
+    v = np.array([1, 2, 4, 8], dtype=np.int64)
+    rel = np.array([0, 0, 2, 2, 4, 4])  # [], [1,2], [], [4,8], []
+    assert segment_sums(v, rel, dtype=np.int64).tolist() == [0, 3, 0, 12, 0]
+    assert segment_sums(
+        np.empty(0, np.int64), np.array([0, 0, 0]), dtype=np.int64
+    ).tolist() == [0, 0]
+    assert segment_sums(v, np.array([0, 4]), dtype=np.int64).tolist() == [15]
+    assert segment_sums(v, np.array([0]), dtype=np.int64).tolist() == []
