@@ -1827,6 +1827,25 @@ def _pii_entity_stats(sf_dir: str) -> pd.DataFrame:
     return df[["label", "n_spans"]]
 
 
+def _doc_robust_z_by_source(sf_dir: str) -> pd.DataFrame:
+    """Per-source robust scaling (median/MAD) of doc length
+    (corpusstats.groupwise_robust_z) — the heavy-tail-safe member of
+    the normalization family beside zscore (mean/sd) and cume_dist
+    (rank): one (key, value) histogram pass, median AND MAD both from
+    the same driver-side histogram, map-only normalize.  Bit-exact vs
+    the DuckDB median()/abs()/division oracle (all half-integer
+    arithmetic is exact in float64)."""
+    from pipeline.extras.corpusstats import groupwise_robust_z
+
+    ds = _read(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "source", "n_chars"],
+    )
+    out = groupwise_robust_z(ds, key_col="source", val_col="n_chars")
+    df = out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    return df[["doc_id", "source", "n_chars", "robust_z"]]
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "doc_length_stats": _doc_length_stats,
@@ -1896,6 +1915,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curation_end_to_end": _curation_end_to_end,
         "docs_temperature_sample": _docs_temperature_sample,
         "pii_entity_stats": _pii_entity_stats,
+        "doc_robust_z_by_source": _doc_robust_z_by_source,
     }
 
 
@@ -2552,6 +2572,22 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT r.doc_id, r.source FROM r JOIN k USING (source)
             WHERE rn <= k ORDER BY r.doc_id
+        """,
+        "doc_robust_z_by_source": """
+            WITH med AS (
+                SELECT source, median(n_chars) AS med
+                FROM documents GROUP BY source
+            ), mad AS (
+                SELECT d.source, median(abs(d.n_chars - m.med)) AS mad
+                FROM documents d JOIN med m USING (source)
+                GROUP BY d.source
+            )
+            SELECT d.doc_id, d.source, d.n_chars,
+                   CASE WHEN a.mad = 0 THEN 0.0
+                        ELSE (d.n_chars - m.med) / a.mad END AS robust_z
+            FROM documents d
+            JOIN med m USING (source) JOIN mad a USING (source)
+            ORDER BY d.doc_id
         """,
         # minhash_dup_pairs / simhash_dup_pairs / embedding_near_dups /
         # langid_documents / ann_topk_ivf: no SQL equivalent (sketches,

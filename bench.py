@@ -52,7 +52,7 @@ QUERY_NAMES = [
     "multimodal_features", "doc_cume_dist_by_source", "dedup_incremental",
     "doc_repetition", "doc_chunks", "corpus_budget_select",
     "doc_ppl_quantiles", "curation_end_to_end", "docs_temperature_sample",
-    "pii_entity_stats",
+    "pii_entity_stats", "doc_robust_z_by_source",
 ]
 
 

@@ -603,3 +603,86 @@ def groupwise_cume_dist(
     return ds.map_batches(
         lookup, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def _weighted_median(vals: np.ndarray, wts: np.ndarray) -> float:
+    """Median of the multiset where vals[i] (ascending) occurs wts[i]
+    times — DuckDB median()/quantile_cont(0.5) semantics: the exact
+    middle element for odd N, the mean of the two middles for even N.
+    All arithmetic is exact in float64 for integer and half-integer
+    values (the only inputs the robust-z pipeline feeds it), so the
+    result bit-matches the SQL engine's."""
+    cum = np.cumsum(wts)
+    n = int(cum[-1])
+    if n % 2:
+        return float(vals[np.searchsorted(cum, (n + 1) // 2)])
+    lo = float(vals[np.searchsorted(cum, n // 2)])
+    hi = float(vals[np.searchsorted(cum, n // 2 + 1)])
+    return (lo + hi) / 2.0
+
+
+def groupwise_robust_z(
+    ds: "ray.data.Dataset", *, key_col: str, val_col: str,
+    out_col: str = "robust_z",
+) -> "ray.data.Dataset":
+    """Per-group robust scaling (x - median) / MAD — the heavy-tail-safe
+    cousin of ``groupwise_zscore`` (doc lengths and quality scores are
+    skewed; one 10 MB file drags a mean/sd calibration, but not the
+    median/MAD one).  Zero-MAD groups emit 0.0, matching zscore's
+    zero-variance convention.
+
+    Same shape as ``groupwise_cume_dist``: ONE per-(key, value)
+    histogram pass (distinct pairs shuffle, not rows), then BOTH the
+    median and the MAD come from that same driver-side histogram — the
+    |v - median| distribution is just the histogram re-keyed by
+    distance, so no second corpus pass — and a map-only normalize reads
+    the broadcast (median, mad) table.  Every float op (int cast,
+    subtract, abs, the two-middles mean, one division) is exact or
+    correctly rounded on half-integer values, so the doubles bit-match
+    DuckDB's median()/abs()/division pipeline."""
+    import ray as _ray
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.table({key_col: t[key_col], val_col: t[val_col]}).group_by(
+            [key_col, val_col]
+        ).aggregate([([], "count_all")])
+        return pa.table({
+            key_col: g[key_col], val_col: g[val_col],
+            "_n": pc.cast(g["count_all"], pa.int64()),
+        })
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby([key_col, val_col])
+        .aggregate(Sum("_n", alias_name="n"))
+        .to_pandas()
+        .sort_values([key_col, val_col])
+        .reset_index(drop=True)
+    )
+    keys, meds, mads = [], [], []
+    for k, g in hist.groupby(key_col, sort=True):
+        v = g[val_col].to_numpy().astype(np.float64)
+        w = g["n"].to_numpy()
+        med = _weighted_median(v, w)
+        d = np.abs(v - med)
+        order = np.argsort(d, kind="mergesort")
+        keys.append(k)
+        meds.append(med)
+        mads.append(_weighted_median(d[order], w[order]))
+    ref = _ray.put((
+        np.array(keys), np.array(meds, dtype=np.float64),
+        np.array(mads, dtype=np.float64),
+    ))
+
+    def normalize(t: pa.Table) -> pa.Table:
+        ks, med, mad = _ray.get(ref)
+        pos = np.searchsorted(ks, t[key_col].to_numpy(zero_copy_only=False))
+        x = t[val_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        m, s = med[pos], mad[pos]
+        rz = np.divide(x - m, s, out=np.zeros_like(x), where=s > 0)
+        return t.append_column(out_col, pa.array(rz, pa.float64()))
+
+    return ds.map_batches(
+        normalize, batch_format="pyarrow", zero_copy_batch=True
+    )

@@ -1223,3 +1223,46 @@ def test_term_freq_doc_frequency_uses_doc_col(ray_session):
     row = {r["term"]: (r["n_occ"], r["n_docs"]) for r in out.to_pylist()}
     assert row["foo"] == (3, 2)  # 3 occurrences, docs {7, 8}
     assert row["bar"] == (1, 1)
+
+
+def test_weighted_median_duckdb_semantics():
+    import duckdb
+
+    from pipeline.extras.corpusstats import _weighted_median
+
+    cases = [
+        ([1, 2, 4, 9], [1, 1, 1, 1]),   # even: (2+4)/2
+        ([1, 2, 9], [1, 1, 1]),          # odd: middle
+        ([3], [5]),                      # one value, weight 5
+        ([1, 2], [3, 1]),                # weighted even: multiset 1,1,1,2
+        ([0, 10], [2, 2]),               # even across a gap: 5.0
+    ]
+    con = duckdb.connect()
+    for vals, wts in cases:
+        flat = [v for v, w in zip(vals, wts) for _ in range(w)]
+        want = con.execute(
+            "SELECT median(x) FROM (SELECT unnest(?) AS x)", [flat]
+        ).fetchone()[0]
+        got = _weighted_median(
+            np.array(vals, dtype=np.float64), np.array(wts)
+        )
+        assert got == float(want), (vals, wts)
+
+
+def test_groupwise_robust_z_zero_mad(ray_session):
+    """A constant-valued group has MAD 0 and must emit 0.0 (the zscore
+    zero-variance convention), not inf/NaN."""
+    import ray.data as rd
+
+    from pipeline.extras.corpusstats import groupwise_robust_z
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "src": pa.array(["c", "c", "v", "v"]),
+        "v": pa.array([7, 7, 1, 5], pa.int64()),
+    })
+    out = (
+        groupwise_robust_z(rd.from_arrow(t), key_col="src", val_col="v")
+        .to_pandas().sort_values("doc_id")
+    )
+    assert out["robust_z"].tolist() == [0.0, 0.0, -1.0, 1.0]
