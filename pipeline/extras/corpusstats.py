@@ -95,21 +95,63 @@ def term_freq(ds: "ray.data.Dataset", *, text_col: str = "text",
     return vocab
 
 
+# Above this many distinct terms the vocabulary no longer comes to the
+# driver: tfidf_top_terms switches to the distributed join path (mirrors
+# dedup.MAX_BUCKET / partition.EXACT_DEDUP_BROADCAST_MAX).  2M string
+# terms + two int64 columns is ~100-200 MB on the driver — comfortably
+# winners-fit; beyond it a code/web corpus vocabulary (identifiers,
+# hashes, URLs) is effectively unbounded and must stay distributed.
+TFIDF_MAX_VOCAB = 2_000_000
+
+
+def _tfidf_partial(batch: pa.Table, *, text_col: str,
+                   doc_col: str) -> pa.Table:
+    """term_freq_partial plus ONE sentinel row (term "") carrying the
+    batch's (row count, doc count) so the corpus doc total falls out of
+    the same vocabulary groupby — no separate ds.count() pass.  The ""
+    term can never collide with a real term (term_freq_partial filters
+    empty tokens)."""
+    t = term_freq_partial(batch, text_col=text_col, doc_col=doc_col)
+    if doc_col in batch.column_names:
+        nd = pc.count_distinct(batch[doc_col]).as_py()
+    else:
+        nd = batch.num_rows
+    sent = pa.table({
+        "term": pa.array([""], pa.string()),
+        "n_occ": pa.array([batch.num_rows], pa.int64()),
+        "n_docs": pa.array([int(nd)], pa.int64()),
+    })
+    return pa.concat_tables([t, sent])
+
+
 def tfidf_top_terms(
     ds: "ray.data.Dataset", *, text_col: str = "text",
     id_col: str = "doc_id", top_n: int = 1, variant: str = "log",
-    n_docs: int | None = None,
+    n_docs: int | None = None, max_vocab: int | None = None,
 ) -> "ray.data.Dataset":
     """Per-document top-``top_n`` TF-IDF terms (keyword extraction /
     topic signal for curation).  Two passes:
 
-    1. ``term_freq`` gives the vocabulary with document frequencies;
-       the vocabulary table comes to the driver (vocabulary-sized — the
-       same winners-fit contract as term_freq/top_k) and the IDF weights
-       broadcast ONCE via ray.put as (sorted terms, weights) arrays.
-    2. a map-only pass scores each doc's terms against the broadcast
-       weights (searchsorted lookup, no join shuffle) and keeps the
-       top_n per doc — output is O(top_n) rows per doc.
+    1. the vocabulary with document frequencies (term_freq's combiner,
+       plus a sentinel row folding the corpus doc count into the same
+       groupby — n_docs costs no extra pass);
+    2. scoring.  Two regimes, switched on the MATERIALIZED vocabulary's
+       row count (metadata, no extra execution):
+
+       - |vocab| <= max_vocab (default TFIDF_MAX_VOCAB): the vocabulary
+         comes to the driver once and the IDF weights broadcast via
+         ray.put as (sorted terms, df) arrays; a map-only pass scores
+         each doc's terms (searchsorted lookup, no join shuffle).
+       - |vocab| > max_vocab (WARNs): nothing vocabulary-sized touches
+         the driver.  Docs explode into per-doc distinct-term partials
+         (doc_id, term, cnt, len), hash-join with the vocabulary on
+         term, score vectorized, then a two-phase top-n per doc_id
+         (partition.topn_per_key).  Two all-to-all exchanges over the
+         distinct-term stream — the honest cost of exact TF-IDF when
+         the vocabulary itself is too large to broadcast.
+
+       Both regimes compute the identical arithmetic on identical
+       values, so they agree bit-for-bit (property-tested).
 
     ``variant="log"`` is the classic smooth idf ln((N+1)/(df+1)) + 1.
     ``variant="recip"`` scores cnt*(N+1) / (len*(df+1)) as ONE float64
@@ -118,11 +160,31 @@ def tfidf_top_terms(
     implementation-defined), which is what the oracle query uses.
     Ties rank by term ascending (deterministic total order)."""
     import ray as _ray
+    from ray.data.aggregate import Sum
 
+    if max_vocab is None:
+        max_vocab = TFIDF_MAX_VOCAB
+    partial = ds.map_batches(
+        lambda t: _tfidf_partial(t, text_col=text_col, doc_col=id_col),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    vocab_agg = partial.groupby("term").aggregate(
+        Sum("n_occ", alias_name="n_occ"), Sum("n_docs", alias_name="n_docs")
+    ).materialize()
+    n_vocab = vocab_agg.count() - 1  # minus the "" sentinel row
+
+    if n_vocab > max_vocab:
+        return _tfidf_distributed(
+            ds, vocab_agg, n_vocab=n_vocab, text_col=text_col,
+            id_col=id_col, top_n=top_n, variant=variant, n_docs=n_docs,
+            max_vocab=max_vocab,
+        )
+
+    vocab = vocab_agg.to_pandas()
+    sent_mask = vocab["term"] == ""
     if n_docs is None:
-        n_docs = ds.count()
-    vocab = term_freq(ds, text_col=text_col).to_pandas()
-    vocab = vocab.sort_values("term").reset_index(drop=True)
+        n_docs = int(vocab.loc[sent_mask, "n_docs"].sum())
+    vocab = vocab[~sent_mask].sort_values("term").reset_index(drop=True)
     terms = vocab["term"].to_numpy()
     df_arr = vocab["n_docs"].to_numpy().astype(np.int64)
     ref = _ray.put((terms, df_arr, int(n_docs), variant))
@@ -162,6 +224,89 @@ def tfidf_top_terms(
     return ds.map_batches(
         score, batch_format="pyarrow", zero_copy_batch=True,
     )
+
+
+def _tfidf_distributed(
+    ds: "ray.data.Dataset", vocab_agg: "ray.data.Dataset", *,
+    n_vocab: int, text_col: str, id_col: str, top_n: int, variant: str,
+    n_docs: int | None, max_vocab: int,
+) -> "ray.data.Dataset":
+    """The above-winners-fit TF-IDF regime: vocabulary stays distributed
+    (hash join on term), then a two-phase top-n per doc.  Arithmetic is
+    identical to the broadcast path — the two regimes agree bit-for-bit."""
+    import warnings
+
+    from pipeline.partition import hash_join, topn_per_key
+
+    warnings.warn(
+        f"tfidf_top_terms: vocabulary has {n_vocab} terms > max_vocab="
+        f"{max_vocab}; switching to the distributed join path "
+        "(two shuffles, nothing vocabulary-sized on the driver)",
+        stacklevel=3,
+    )
+    if n_docs is None:
+        sent = vocab_agg.map_batches(
+            lambda t: t.filter(pc.equal(t["term"], "")),
+            batch_format="pyarrow", zero_copy_batch=True,
+        ).to_pandas()
+        n_docs = int(sent["n_docs"].sum())
+    n = int(n_docs)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch[text_col], " ")
+        flat = pc.list_flatten(toks)
+        parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        d = pd.DataFrame({"term": flat.to_pandas(), "_p": parents})
+        d = d[d["term"] != ""]
+        g = d.groupby(["_p", "term"], sort=False).size().reset_index(name="cnt")
+        doc_len = d.groupby("_p", sort=False).size()
+        g["len"] = doc_len.loc[g["_p"]].to_numpy() if len(g) else np.array([], np.int64)
+        p = g["_p"].to_numpy().astype(np.int64, copy=False)
+        # take() keeps the id column's Arrow type even on empty batches
+        # (a numpy round-trip would emit a null-typed array and break
+        # cross-block schema unification).
+        return pa.table({
+            id_col: batch[id_col].take(pa.array(p)),
+            "term": pa.array(g["term"].to_numpy(), pa.string()),
+            "cnt": pa.array(g["cnt"].to_numpy().astype(np.int64, copy=False)),
+            "len": pa.array(g["len"].to_numpy().astype(np.int64, copy=False)),
+        })
+
+    doc_terms = ds.map_batches(
+        explode, batch_format="pyarrow", zero_copy_batch=True,
+    )
+    vocab_df = vocab_agg.map_batches(
+        lambda t: t.filter(pc.not_equal(t["term"], ""))
+                   .select(["term", "n_docs"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    joined = hash_join(doc_terms, vocab_df, on="term")
+    var = variant
+
+    def score_batch(t: pa.Table) -> pa.Table:
+        cnt = t["cnt"].to_numpy(zero_copy_only=False)
+        ln_ = t["len"].to_numpy(zero_copy_only=False)
+        dfv = t["n_docs"].to_numpy(zero_copy_only=False)
+        if var == "recip":
+            score = ((cnt * np.int64(n + 1)).astype(np.float64)
+                     / (ln_ * (dfv + 1)).astype(np.float64))
+        else:
+            idf = np.log((n + 1.0) / (dfv + 1.0)) + 1.0
+            score = cnt / ln_ * idf
+        return pa.table({
+            id_col: t[id_col],
+            "term": t["term"],
+            "score": pa.array(score, pa.float64()),
+        })
+
+    scored = joined.map_batches(
+        score_batch, batch_format="pyarrow", zero_copy_batch=True,
+    )
+    out = topn_per_key(
+        scored, key=id_col, order_by=["score", "term"],
+        ascending=[False, True], n=top_n,
+    )
+    return out.select_columns([id_col, "term", "score", "rnk"])
 
 
 def bigram_partial(t: pa.Table, *, text_col: str = "text") -> pa.Table:
