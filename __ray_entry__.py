@@ -1698,6 +1698,37 @@ def _doc_ppl_quantiles(sf_dir: str) -> pd.DataFrame:
     })
 
 
+def _doc_score_quantiles_sketch(sf_dir: str) -> pd.DataFrame:
+    """The quantile SKETCH (pipeline/extras/sketches.py) on a
+    SQL-expressible continuous column, run in its EXACT regime
+    (n_docs <= K=8192 at sf<=0.1, where no compression happens and the
+    sketch reproduces DuckDB quantile_disc bit-for-bit) — the
+    driver-green counterpart of the rows-only doc_ppl_quantiles (whose
+    model-score column has no SQL form).  The score is one IEEE
+    division of exact ints (n_chars / (doc_id+1)) so both engines
+    compute identical doubles."""
+    import pyarrow.compute as pc
+
+    from pipeline.extras.sketches import sketch_quantiles
+
+    ds = _read(f"{sf_dir}/documents.parquet",
+               columns=["doc_id", "n_chars"]).map_batches(
+        lambda t: pa.table({
+            "score": pc.divide(
+                pc.cast(t["n_chars"], pa.float64()),
+                pc.cast(pc.add(t["doc_id"], 1), pa.float64()),
+            ),
+        }),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    qs = [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+    vals = sketch_quantiles(ds, "score", qs, k=8192)
+    return pd.DataFrame({
+        "q": np.array(qs, dtype=np.float64),
+        "score": np.array(vals, dtype=np.float64),
+    })
+
+
 def _curation_end_to_end(sf_dir: str) -> pd.DataFrame:
     """Composed curation chain — keep-first exact dedup (keys-only
     aggregate) -> adaptive quantile quality floor (histogram threshold)
@@ -1912,6 +1943,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_chunks": _doc_chunks,
         "corpus_budget_select": _corpus_budget_select,
         "doc_ppl_quantiles": _doc_ppl_quantiles,
+        "doc_score_quantiles_sketch": _doc_score_quantiles_sketch,
         "curation_end_to_end": _curation_end_to_end,
         "docs_temperature_sample": _docs_temperature_sample,
         "pii_entity_stats": _pii_entity_stats,
@@ -2523,6 +2555,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(n_tok) AS BIGINT) AS sel_tokens
             FROM s WHERE cum <= budget
             GROUP BY source ORDER BY source
+        """,
+        "doc_score_quantiles_sketch": """
+            WITH s AS (
+                SELECT CAST(n_chars AS DOUBLE)
+                       / CAST(doc_id + 1 AS DOUBLE) AS score
+                FROM documents
+            )
+            SELECT 0.10::DOUBLE AS q, quantile_disc(score, 0.10) AS score FROM s
+            UNION ALL
+            SELECT 0.25::DOUBLE, quantile_disc(score, 0.25) FROM s
+            UNION ALL
+            SELECT 0.50::DOUBLE, quantile_disc(score, 0.50) FROM s
+            UNION ALL
+            SELECT 0.75::DOUBLE, quantile_disc(score, 0.75) FROM s
+            UNION ALL
+            SELECT 0.90::DOUBLE, quantile_disc(score, 0.90) FROM s
+            UNION ALL
+            SELECT 0.99::DOUBLE, quantile_disc(score, 0.99) FROM s
+            ORDER BY q
         """,
         "curation_end_to_end": """
             WITH dedup AS (

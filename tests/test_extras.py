@@ -702,6 +702,53 @@ def test_pack_greedy_empty_and_oversized():
     assert pack_greedy(np.array([50, 70, 60]), 10).tolist() == [0, 1, 2]
 
 
+def test_dup_groups_distributed_matches_driver():
+    """VERDICT r3 item 3: label-propagation connected components agree
+    with the driver union-find on random graphs (int AND string ids) —
+    same (id, canonical_id, keep) rows, canonical = component min."""
+    from pipeline.extras.dedup import dup_groups, dup_groups_distributed
+
+    for seed in (3, 11, 42):
+        rng = np.random.default_rng(seed)
+        pairs = pd.DataFrame({
+            "a": rng.integers(0, 60, 120), "b": rng.integers(0, 60, 120),
+        })
+        pairs = pairs[pairs.a != pairs.b].drop_duplicates().reset_index(drop=True)
+        ref = dup_groups(pairs).sort_values("id").reset_index(drop=True)
+        out = dup_groups_distributed(pairs).to_pandas() \
+            .sort_values("id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(out, ref, check_dtype=False)
+
+    sp = pd.DataFrame({"a": ["d1", "d2", "d5"], "b": ["d2", "d3", "d6"]})
+    ref = dup_groups(sp).sort_values("id").reset_index(drop=True)
+    out = dup_groups_distributed(sp).to_pandas() \
+        .sort_values("id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, ref, check_dtype=False)
+
+
+def test_dup_groups_distributed_planted_100k_component():
+    """Planted single component with 100_000 pairs (binary-tree edges
+    (i, i//2)): every node must resolve to canonical 0 with exactly one
+    keeper, through the distributed path only (the driver union-find
+    would also handle this, but here we prove the label-propagation
+    converges and is exact at pair counts past toy scale)."""
+    import ray.data as rd
+
+    from pipeline.extras.dedup import dup_groups_distributed
+
+    n = 100_001
+    i = np.arange(1, n, dtype=np.int64)
+    pairs = pd.DataFrame({"a": i, "b": i // 2})
+    assert len(pairs) == 100_000
+    out = dup_groups_distributed(
+        rd.from_pandas(pairs).repartition(8)
+    ).to_pandas()
+    assert len(out) == n
+    assert (out["canonical_id"] == 0).all()
+    assert int(out["keep"].sum()) == 1
+    assert bool(out.loc[out["id"] == 0, "keep"].iloc[0])
+
+
 def test_dup_groups_union_find():
     from pipeline.extras.dedup import dup_groups
 
