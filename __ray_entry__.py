@@ -1370,6 +1370,60 @@ def _docs_sample_k(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _docs_cap_per_source(sf_dir: str) -> pd.DataFrame:
+    """Per-source quota sampling (cap each domain/source at k docs,
+    deterministic keep-first-by-id) — the domain-balancing step of web
+    corpus curation.  Two-phase topn_per_key: per-batch trim means the
+    exchange moves at most k rows per (source, batch), never the corpus."""
+    from pipeline.partition import topn_per_key
+
+    import pyarrow.parquet as pq
+
+    path = f"{sf_dir}/documents.parquet"
+    n = pq.ParquetFile(path).metadata.num_rows
+    ds = _read(path, columns=["doc_id", "source"])
+    out = topn_per_key(
+        ds, key="source", order_by=["doc_id"], ascending=[True], n=25,
+        n_rows_hint=n,
+    ).to_pandas()
+    return (
+        out[["doc_id", "source"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+def _doc_dev_from_source_mean(sf_dir: str) -> pd.DataFrame:
+    """Per-doc deviation from its source's mean length — the join-back
+    enrichment pattern (combiner -> tiny per-source frame -> broadcast
+    join -> map-only compute; the corpus never shuffles).  mean is ONE
+    IEEE division of an exact int sum by an exact count, and the
+    deviation one subtraction — both correctly rounded, so DuckDB
+    reproduces the doubles bit-for-bit."""
+    from ray.data.aggregate import Count, Sum
+
+    from pipeline.partition import broadcast_join
+
+    ds = _read(f"{sf_dir}/documents.parquet",
+               columns=["doc_id", "source", "n_chars"])
+    per_source = ds.groupby("source").aggregate(
+        Sum("n_chars", alias_name="_sum"), Count(alias_name="_n"),
+    ).to_pandas()
+    per_source["mean_chars"] = (
+        per_source["_sum"].astype("int64").to_numpy().astype(np.float64)
+        / per_source["_n"].astype("int64").to_numpy().astype(np.float64)
+    )
+    out = broadcast_join(
+        ds, per_source[["source", "mean_chars"]], on="source",
+    ).to_pandas()
+    out["dev_chars"] = out["n_chars"].to_numpy().astype(np.float64) - out["mean_chars"].to_numpy()
+    return (
+        out[["doc_id", "source", "mean_chars", "dev_chars"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
 def _doc_tfidf_top(sf_dir: str) -> pd.DataFrame:
     """Per-doc top TF-IDF keyword (pipeline/extras/corpusstats.py):
     vocabulary+df to driver once, IDF broadcast, map-only scoring.
@@ -1950,6 +2004,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_budget_select": _corpus_budget_select,
         "doc_ppl_quantiles": _doc_ppl_quantiles,
         "doc_score_quantiles_sketch": _doc_score_quantiles_sketch,
+        "docs_cap_per_source": _docs_cap_per_source,
+        "doc_dev_from_source_mean": _doc_dev_from_source_mean,
         "curation_end_to_end": _curation_end_to_end,
         "docs_temperature_sample": _docs_temperature_sample,
         "pii_entity_stats": _pii_entity_stats,
@@ -2561,6 +2617,26 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(n_tok) AS BIGINT) AS sel_tokens
             FROM s WHERE cum <= budget
             GROUP BY source ORDER BY source
+        """,
+        "docs_cap_per_source": """
+            SELECT doc_id, source FROM (
+                SELECT doc_id, source,
+                       row_number() OVER (PARTITION BY source
+                                          ORDER BY doc_id) AS rn
+                FROM documents
+            ) WHERE rn <= 25 ORDER BY doc_id
+        """,
+        "doc_dev_from_source_mean": """
+            WITH m AS (
+                SELECT source,
+                       CAST(sum(n_chars) AS DOUBLE) / count(*) AS mean_chars
+                FROM documents GROUP BY source
+            )
+            SELECT d.doc_id AS doc_id, d.source AS source,
+                   m.mean_chars AS mean_chars,
+                   CAST(d.n_chars AS DOUBLE) - m.mean_chars AS dev_chars
+            FROM documents d JOIN m USING (source)
+            ORDER BY doc_id
         """,
         "doc_score_quantiles_sketch": """
             WITH s AS (

@@ -50,8 +50,11 @@ PHONE_CUES = (
     # Number: {ssn}" and would outscore the farther "social" cue.
     "phone", "call", "tel", "dial", "contact", "callback", "reach",
     "mine is", "cell", "mobile", "hmu", "calling",
-    ("info", 44),  # "contact info: …, {phone}", "leaked my info ({email}, {phone}…"
+    # 58 not 44: "leaked my info ({email}, {phone}…" with a long email
+    # puts the cue ~50 chars back (measured misses at 44)
+    ("info", 58),
     (" or ", 6),   # "{email} or {phone}" tail
+    ("nr", 8),     # "… {email} nr {phone}." template abbreviation
 )
 DATE_CUES = (
     "dob", "born", "date", "birthday", "exp", "expected", "registered",
@@ -101,9 +104,18 @@ def _fuzzy_alts(word: str) -> list[str]:
     tolerates one edit. Short cues (<5 chars, except "ssn") stay exact-only
     to avoid false matches inside carrier words."""
     alts = [re.escape(word)]
-    if len(word) >= 5 or word in ("ssn", "dob", " at ", "call", "dial"):
+    # The 1-edit wildcard: for unbounded 5-char cues a SPACE substitution
+    # lets the alternation bridge two unrelated words ("suite" matched
+    # "S ite" inside "statuS iteM" — a measured ADDRESS false positive),
+    # so they use a non-space wildcard.  Longer words keep the full
+    # wildcard ("C nTact"), and the short boundary-wrapped cues keep it
+    # too — "S SN:" / "D Ob" space-noise MUST still match (measured 28
+    # SSN misses when it doesn't).
+    bounded_short = word in ("ssn", "dob", " at ", "call", "dial")
+    wc = "." if (len(word) >= 6 or bounded_short) else r"[^\s]"
+    if len(word) >= 5 or bounded_short:
         for i in range(len(word)):
-            alts.append(re.escape(word[:i]) + "." + re.escape(word[i + 1:]))
+            alts.append(re.escape(word[:i]) + wc + re.escape(word[i + 1:]))
         for i in range(len(word) - 1):
             if word[i] != word[i + 1]:
                 alts.append(
@@ -123,7 +135,18 @@ def _fuzzy_alts(word: str) -> list[str]:
         # "santiago", ".ial" inside "social"). The leading boundary blocks
         # only LOWERCASE neighbors — case-scoped (?-i:) so swap-noise like
         # "S SN:" (uppercase neighbor) still matches under IGNORECASE.
-        alts = [rf"(?-i:(?<![a-z]))(?:{a})(?![a-z])" for a in alts]
+        bounded = [rf"(?-i:(?<![a-z]))(?:{a})(?![a-z])" for a in alts]
+        # space-transposition noise glues a one-letter word onto the cue
+        # ("my ssn" -> "m yssn") — allow the EXACT cue behind a single
+        # stray lowercase letter that is itself a word start.
+        bounded.append(
+            rf"(?-i:(?<=\b[a-z]))(?:{re.escape(word)})(?![a-z])"
+        )
+        alts = bounded
+    if word == "nr":
+        # exact-only, BOTH-case boundaries: the case-scoped form fired
+        # inside noised "SSNr" and flipped SSNs to PHONE (measured)
+        alts = [rf"(?<![a-zA-Z])(?:{a})(?![a-zA-Z])" for a in alts]
     return alts
 
 
@@ -141,11 +164,19 @@ def _cue_res(cues: tuple) -> list[tuple[re.Pattern, int]]:
     return _CUE_RE_CACHE[cues]
 
 
+# Real English tokens that sit one edit from a cue word and appear in the
+# templates themselves: "at gmail DOT com" (obfuscated emails) is one
+# substitution from the DATE cue "dob" — measured DATE false positives.
+_CUE_DENY = frozenset({"dot"})
+
+
 def _nearest(win: str, cues: tuple, *, from_end: bool) -> int:
     """Distance of nearest (fuzzy) cue occurrence, or a large sentinel."""
     best = 10_000
     for rx, maxdist in _cue_res(cues):
         for m in rx.finditer(win):
+            if m.group().lower() in _CUE_DENY:
+                continue
             dist = (len(win) - m.start()) if from_end else m.start()
             if dist <= maxdist:
                 best = min(best, dist)
@@ -156,10 +187,14 @@ def _nearest(win: str, cues: tuple, *, from_end: bool) -> int:
 
 def resolve_numeric_cue(
     text: str, start: int, end: int, options: list[tuple[str, tuple[str, ...]]],
-    default: str | None,
+    default: str | None, fwd_maxdist: int | None = None,
 ) -> str | None:
     """Pick the label whose cue is nearest to the candidate (backward window
-    preferred, then forward); fall back to `default` (may be None = drop)."""
+    preferred, then forward); fall back to `default` (may be None = drop).
+    ``fwd_maxdist`` caps how far a FORWARD cue may start: bare numerics
+    ("{year} you can reach {person}...") kept getting stolen by a phone
+    cue two words ahead — pass ~6 so only truly adjacent forward cues
+    ("4581 call me") count."""
     back = _window_before(text, start)
     fwd = _window_after(text, end)
     best_label, best_dist = None, 10_000
@@ -172,6 +207,8 @@ def resolve_numeric_cue(
             if label == "ADDRESS":
                 continue  # "ship to X" cues point forward — never backward
             d = _nearest(fwd, cues, from_end=False)
+            if fwd_maxdist is not None and d > fwd_maxdist:
+                continue
             if d < best_dist:
                 best_label, best_dist = label, d
     return best_label if best_label is not None else default

@@ -111,8 +111,67 @@ class PatternSpec:
 
 # ---------------------------------------------------------------- gates
 
+def _fuzzy_re(word: str) -> re.Pattern:
+    from pipeline.detect.gates import _fuzzy_alts
+
+    return re.compile("|".join(_fuzzy_alts(word)), re.IGNORECASE)
+
+
 def _gate_luhn(text: str, m: Match) -> str | None:
-    return "CREDIT_CARD" if luhn_ok(m.group()) else None
+    if not luhn_ok(m.group()):
+        return None
+    # hard negative "Card NNNN (missing digit)" [corpus.py
+    # hard_negative_strings] fails Luhn BY CONSTRUCTION, but outside-span
+    # noise occasionally flips a digit back to Luhn-valid — the trailing
+    # marker is the only stable signal (trap-only vocabulary).
+    if _fuzzy_re("missing").search(text[m.end(): m.end() + 16]):
+        return None
+    return "CREDIT_CARD"
+
+
+def _gate_ssn_letter(text: str, m: Match) -> str | None:
+    """Letter-prefixed SSN [G:130,135] vs the 'Acct NNNNNNNN checksum
+    pending' hard negative whose leading digit noise turned into a
+    letter: reject on the trap's own words (backward 'acct', forward
+    'checksum'/'pending' — none appear near true SSN slots)."""
+    if re.search(r"(?i)acct\s*$", text[max(0, m.start() - 8): m.start()]):
+        return None
+    fwd = text[m.end(): m.end() + 24]
+    if _fuzzy_re("checksum").search(fwd) or _fuzzy_re("pending").search(fwd):
+        return None
+    return "SSN"
+
+
+def _gate_username_vocab(text: str, m: Match) -> str | None:
+    """lowercase-word+digits username [G:61-69] vs a noise-digitized
+    carrier word ('finished' -> 'finish62'): reject when the alpha stem
+    is a prefix of a carrier word of exactly the match's length (the
+    closed filler vocabulary never overlaps the name vocabularies)."""
+    s = m.group()
+    stem = s.rstrip("0123456789")
+    n = len(s)
+    for w in vocab.CARRIER_WORDS:
+        if len(w) == n and w.startswith(stem):
+            return None
+    return "PERSON"
+
+
+def _gate_person_l2(text: str, m: Match) -> str | None:
+    """Letter+2-digit username [G:74] vs a noise-digitized 'SSN'/'Exp'
+    cue word: those sit directly BEFORE their structured value ('S57
+    5051-9844-6797'), a position no person slot occupies."""
+    if re.match(r" ?\d{3,4}[-. ]\d", text[m.end(): m.end() + 7]):
+        return None
+    return "PERSON"
+
+
+def _gate_addr_postcode(text: str, m: Match) -> str | None:
+    """2-letter+2-digit short postcode vs the 'Handle @{username}' hard
+    negative whose '@' noise made the handle look bare: reject when
+    preceded by the trap's own cue word."""
+    if _fuzzy_re("handle").search(text[max(0, m.start() - 12): m.start()]):
+        return None
+    return "ADDRESS"
 
 
 def _gate_num9_10(text: str, m: Match) -> str | None:
@@ -171,7 +230,7 @@ def _gate_bare4(text: str, m: Match) -> str | None:
     lbl = resolve_numeric_cue(
         text, m.start(), m.end(),
         [("PHONE", PHONE_CUES), ("DATE", DATE_CUES), ("ADDRESS", ADDRESS_CUES)],
-        default=None,
+        default=None, fwd_maxdist=6,
     )
     if lbl is not None:
         return lbl
@@ -184,40 +243,72 @@ def _gate_ssn_cue(text: str, m: Match) -> str | None:
     )
 
 
+# 1-digit M/F forms get only STRONG age cues: the un-bounded relationship
+# words ("me ", "old" at any distance in the 60-char window) kept matching
+# noise bigrams ("my" -> "m4") far from any age slot.  The template shapes
+# that legitimately need them ("My brother is {age} years old") place the
+# cue within ~12 chars, so they survive with tight distances.
+AGE_CUES_TIGHT = (
+    "age", "aged", "i'm", "im ", "i am",
+    ("brother", 12), ("partner", 12), ("boyfriend", 12),
+    ("girlfriend", 12), ("wife", 12), ("husband", 12), ("friend", 12),
+    ("old", 11),
+)
+
+
 def _gate_age_cue(text: str, m: Match) -> str | None:
     """1-digit M/F age forms ("5f", "M4") collide with noise-corrupted
-    carrier bigrams ("if" -> "5f", "my" -> "m4") — require an age cue or
-    the CSV pipe-flank ('{person} | {age} | …')."""
+    carrier bigrams ("if" -> "5f", "my" -> "m4") — require a STRONG age
+    cue or the CSV pipe-flank ('{person} | {age} | …')."""
     before, after = pipe_flanked(text, m.start(), m.end())
     if before and after:
         return "AGE"
     return resolve_numeric_cue(
-        text, m.start(), m.end(), [("AGE", AGE_CUES)], default=None,
+        text, m.start(), m.end(), [("AGE", AGE_CUES_TIGHT)], default=None,
     )
 
 
+AGE_CUES_B12 = (("age", 10), ("aged", 10), ("i'm", 6), ("im ", 6),
+                ("i am", 6), ("brother", 12), ("partner", 12),
+                ("boyfriend", 12), ("girlfriend", 12), ("wife", 12),
+                ("husband", 12), ("friend", 12), ("old", 11))
+
+
 def _gate_bare12(text: str, m: Match) -> str | None:
-    """Bare 1-2 digit: age [G:164 str(age_num)] or building number [G:305]."""
+    """Bare 1-2 digit: age [G:164 str(age_num)] or building number
+    [G:305].  AGE cues are distance-tight: a far "age 40" / "i'm 48"
+    belonging to ANOTHER value kept adopting stray bare digits 15+ chars
+    away (measured spurs); the true bare-age templates put the cue
+    within a word."""
     before, after = pipe_flanked(text, m.start(), m.end())
     if before and after:
         return "AGE"  # CSV template: 2nd field is the age
     return resolve_numeric_cue(
         text, m.start(), m.end(),
-        [("AGE", AGE_CUES), ("ADDRESS", ADDRESS_CUES)],
+        [("AGE", AGE_CUES_B12), ("ADDRESS", ADDRESS_CUES)],
         default=None,
     )
 
 
 def _gate_bare3or5(text: str, m: Match) -> str | None:
-    """Bare 3- or 5-digit: building number / postcode with an address cue."""
+    """Bare 3- or 5-digit: building number / postcode with an address cue.
+    The shipping template's own tail ('{zip}, hope it arrives by ...') is
+    the only stable signal when noise destroys 'shipping to' beyond the
+    2-edit budget — resolve's fwd pass skips ADDRESS (its cues point
+    forward), so check the template tail directly."""
     before, after = pipe_flanked(text, m.start(), m.end())
     if before:
         return "ADDRESS" if after else "PHONE"
-    return resolve_numeric_cue(
+    lbl = resolve_numeric_cue(
         text, m.start(), m.end(),
         [("ADDRESS", ADDRESS_CUES), ("PHONE", PHONE_CUES)],
         default=None,
     )
+    if lbl is not None:
+        return lbl
+    if _fuzzy_re("hope").search(text[m.end(): m.end() + 12]):
+        return "ADDRESS"
+    return None
 
 
 def _gate_ipv4(text: str, m: Match) -> str | None:
@@ -242,7 +333,8 @@ def _conformance_specs() -> list[PatternSpec]:
     # ---- SSN unique shapes [G:120-153]
     P.append(PatternSpec("SSN", rf"{NB}\d{{3}}{SEP_D}\d{{2}}{SEP_D}\d{{4}}{NA}"))          # 123-45-6789
     P.append(PatternSpec("SSN", rf"{NB}\d{{4}}{SEP_D}\d{{4}}{SEP_D}\d{{4}}{NA}"))          # 1234-5678-9012
-    P.append(PatternSpec("SSN", rf"(?<![\w.\-/#])[A-Z]\d{{7,8}}{NA}", flags=0))            # A12345678
+    P.append(PatternSpec(None, rf"(?<![\w.\-/#])[A-Z]\d{{7,8}}{NA}", flags=0,
+                         gate=_gate_ssn_letter))                           # A12345678
     # case-noised letter prefix ("r99496293"): only with an SSN cue nearby
     P.append(PatternSpec(None, rf"(?<![\w.\-/#])[a-z]\d{{7,8}}{NA}", gate=_gate_ssn_cue, flags=0))
     P.append(PatternSpec(                                                                   # 27.01.06.52.N67.7
@@ -337,7 +429,8 @@ def _conformance_specs() -> list[PatternSpec]:
     P.append(PatternSpec("ADDRESS", rf"\b(?:apartment|suite|floor) \d{{1,3}}{NA}"))
     P.append(PatternSpec("ADDRESS", rf"{NB}\d{{5}}, \d{{5}}{NA}"))
     P.append(PatternSpec("ADDRESS", rf"(?<![\w.\-/#]){ABBR}(?![\w\-])", flags=0, tg="vocab"))
-    P.append(PatternSpec("ADDRESS", rf"(?<![\w.\-/#])[A-Z]{{2}}\d{{2}}{NA}", flags=0))
+    P.append(PatternSpec(None, rf"(?<![\w.\-/#])[A-Z]{{2}}\d{{2}}{NA}", flags=0,
+                         gate=_gate_addr_postcode))
 
     # ---- ORG: company() analog shapes [G:41]
     P.append(PatternSpec("ORG", rf"\b{ORGW}, {ORGW} and {ORGW}\b", tg="vocab"))
@@ -352,9 +445,11 @@ def _conformance_specs() -> list[PatternSpec]:
     P.append(PatternSpec("PERSON", rf"(?<![\w.@])(?:19|20)\d{{2}}{FIRST}{SEP_P}{LAST}{NA}"))
     P.append(PatternSpec("PERSON", rf"(?<![\w.@])(?:19|20)\d{{2}}(?:{FIRST}|{LAST}){NA}"))
     P.append(PatternSpec("PERSON", rf"(?<![\w.@])\d{{2}}(?:{FIRST}|{LAST}){NA}"))
-    P.append(PatternSpec("PERSON", rf"(?<![\w.@])[a-z]{{6,20}}\d{{2,6}}{NA}"))
+    P.append(PatternSpec(None, rf"(?<![\w.@])[a-z]{{6,20}}\d{{2,6}}{NA}",
+                         gate=_gate_username_vocab))
     P.append(PatternSpec("PERSON", rf"(?<![\w.@])[A-Z]\d{{6}}{NA}", flags=0))
-    P.append(PatternSpec("PERSON", rf"(?<![\w.@])[A-EG-LN-Z]\d{{2}}{NA}", flags=0))
+    P.append(PatternSpec(None, rf"(?<![\w.@])[A-EG-LN-Z]\d{{2}}{NA}", flags=0,
+                         gate=_gate_person_l2))
     P.append(PatternSpec("PERSON", rf"(?<![\w.@]){INITIALS}(?![\w\-])", flags=0, tg="vocab"))
     P.append(PatternSpec("PERSON", rf"(?<![\w.@']){FIRST}(?![\w.\-])", tg="vocab"))
 

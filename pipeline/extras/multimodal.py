@@ -105,8 +105,21 @@ def write_video_table(out_dir, n_rows: int, seed: int = 42, n_files: int = 4) ->
 
 
 def decode_image_real(payload: bytes):
-    """Where a real codec (Pillow / torchvision.io) would decode — not
-    available in this container."""
+    """Real-codec seam: decodes with Pillow when it is installed
+    (importlib probe — this container ships no codec libs, so offline
+    the seam raises exactly as before and the stub tests still pass);
+    returns an HxWxC uint8 numpy array."""
+    import importlib.util
+
+    if importlib.util.find_spec("PIL") is not None:
+        import io
+
+        from PIL import Image  # type: ignore[import-not-found]
+
+        import numpy as _np
+
+        with Image.open(io.BytesIO(payload)) as im:
+            return _np.asarray(im.convert("RGB"))
     raise NotImplementedError(
         "real image decode requires an image library not present in this "
         "environment; use FakeImageDecoder for the plumbing path"
@@ -201,8 +214,18 @@ def make_fake_audio(item_id: int, seed: int = 42) -> tuple[bytes, dict]:
 
 
 def decode_audio_real(payload: bytes):
-    """Where a real codec (soundfile / torchaudio) would decode — not
-    available in this container."""
+    """Real-codec seam: decodes with soundfile when it is installed
+    (importlib probe; offline it raises exactly as before); returns
+    (samples ndarray, sample_rate)."""
+    import importlib.util
+
+    if importlib.util.find_spec("soundfile") is not None:
+        import io
+
+        import soundfile  # type: ignore[import-not-found]
+
+        data, sr = soundfile.read(io.BytesIO(payload))
+        return data, sr
     raise NotImplementedError(
         "real audio decode requires an audio library not present in this "
         "environment; use FakeAudioFeatures for the plumbing path"

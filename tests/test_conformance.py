@@ -26,9 +26,11 @@ def test_first_try_span_f1_at_least_099():
         truth, pred = make_first_try_row(i)
         counts.update(truth, pred)
     report = finalize(counts)
-    # raised from 0.99 after the cue-window case fix + delimiter-structure
-    # fallback (measured 0.9976 at N=1200, 0.9952 at N=4000)
-    assert report["micro"]["f1"] >= 0.995, report["micro"]
+    # raised 0.99 -> 0.995 (r3: cue-window case fix + delimiter-structure
+    # fallback) -> 0.996 (r4: trap-word gates for noised hard negatives,
+    # distance-tight AGE cues, fuzzy-wildcard space restriction;
+    # measured 0.9961 at N=4000)
+    assert report["micro"]["f1"] >= 0.996, report["micro"]
 
 
 def test_conformance_rows_exact_parity():
