@@ -53,6 +53,11 @@ QUERY_NAMES = [
     "doc_repetition", "doc_chunks", "corpus_budget_select",
     "doc_ppl_quantiles", "curation_end_to_end", "docs_temperature_sample",
     "pii_entity_stats", "doc_robust_z_by_source",
+    "doc_score_quantiles_sketch", "docs_cap_per_source",
+    "doc_dev_from_source_mean", "near_dup_groups_distributed",
+    "doc_alnum_ratio", "doc_lang_filter", "doc_len_histogram",
+    "doc_minlen_filter", "doc_quality", "events_lag",
+    "orders_by_nation", "orders_customer_join",
 ]
 
 

@@ -232,56 +232,74 @@ def salted_group_counts(
     )
 
 
+_BCAST_JOIN_CACHE: dict = {}
+
+
+def _bcast_join_batch(batch: pd.DataFrame, *, small_ref, on: str,
+                      how: str) -> pd.DataFrame:
+    """Task-pool body for broadcast_join: the broadcast dimension table
+    is deserialized ONCE PER WORKER (module-level cache keyed by the
+    ref — Ray worker processes persist across tasks, so this matches the
+    actor pool's fetch-once property without the pool's spin-up cost:
+    the old 8-actor pool cost ~7 s of process startup on a 150k-row
+    dimension lookup whose compute is ~0.5 s)."""
+    import ray as _ray
+
+    key = small_ref.hex()
+    small = _BCAST_JOIN_CACHE.get(key)
+    if small is None:
+        small = _ray.get(small_ref)
+        _BCAST_JOIN_CACHE.clear()  # bound: one live broadcast per worker
+        _BCAST_JOIN_CACHE[key] = small
+    return batch.merge(small, on=on, how=how)
+
+
 def broadcast_join(
     ds: "ray.data.Dataset", small: pd.DataFrame, on: str,
     columns: list[str] | None = None, how: str = "inner",
     concurrency: int | None = None, batch_size: int = 16384,
 ) -> "ray.data.Dataset":
     """§2.4: broadcast-small-side join — the dimension table is ray.put
-    once and merged per batch inside an actor pool (each actor fetches
-    the broadcast ONCE in __init__); no shuffle. This is the join-back
-    pattern for per-repo stats and any dimension lookup. Pool sized to
-    ~1/4 of the cluster (the old fixed concurrency=2 serialized a 600k-row
-    fact table behind two actors)."""
+    once and merged per batch in PLAIN TASKS with a per-worker broadcast
+    cache; no shuffle, no actor-pool spin-up. This is the join-back
+    pattern for per-repo stats and any dimension lookup.  `concurrency`
+    (if given) caps the task parallelism; default lets the streaming
+    executor size it."""
     import ray as _ray
 
-    if concurrency is None:
-        try:
-            n = int(_ray.cluster_resources().get("CPU", 8))
-        except Exception:
-            # not yet initialised (lazy pipelines auto-init at execution);
-            # same fallback flagship_pipeline uses for this call
-            n = 8
-        concurrency = max(2, n // 4)
     if columns is not None:
         small = small[[on] + [c for c in columns if c != on]]
     small_ref = _ray.put(small)
 
-    class Join:
-        def __init__(self):
-            self.small = _ray.get(small_ref)
-
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            return batch.merge(self.small, on=on, how=how)
-
+    kwargs = {"concurrency": concurrency} if concurrency is not None else {}
     return ds.map_batches(
-        Join, batch_format="pandas", batch_size=batch_size,
-        concurrency=concurrency,
+        _bcast_join_batch, batch_format="pandas", batch_size=batch_size,
+        fn_kwargs={"small_ref": small_ref, "on": on, "how": how},
+        **kwargs,
     )
 
 
 def hash_join(
     left: "ray.data.Dataset", right: "ray.data.Dataset", on: str,
     right_on: str | None = None, num_partitions: int | None = None,
-    join_type: str = "inner",
+    join_type: str = "inner", n_rows_hint: int | None = None,
 ) -> "ray.data.Dataset":
     """Large-large hash-partitioned join (both sides shuffled on the key).
     Uses Ray Data's native Dataset.join; partition count defaults to
-    2 x cluster CPUs. For small right sides prefer broadcast_join."""
+    2 x cluster CPUs, or — when the caller passes ``n_rows_hint`` (e.g.
+    parquet metadata row count of the larger side) — to roughly one
+    partition per 100k rows, clamped to [8, 2 x CPUs].  Each partition
+    costs a shuffle-aggregator actor: 64 of them on a 150k-row join was
+    ~7 s of process spin-up for ~0.5 s of join work (measured).  For
+    small right sides prefer broadcast_join."""
     import ray as _ray
 
+    cpus = int(_ray.cluster_resources().get("CPU", 8))
     if num_partitions is None:
-        num_partitions = max(8, 2 * int(_ray.cluster_resources().get("CPU", 8)))
+        if n_rows_hint is not None:
+            num_partitions = max(8, min(2 * cpus, n_rows_hint // 100_000))
+        else:
+            num_partitions = max(8, 2 * cpus)
     return left.join(
         right, join_type=join_type, num_partitions=num_partitions,
         on=(on,), right_on=(right_on or on,),
