@@ -1472,6 +1472,24 @@ def _doc_dev_from_source_mean(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _docs_hash_split(sf_dir: str) -> pd.DataFrame:
+    """Deterministic 80/10/10 train/val/test corpus split by Weyl hash
+    (pipeline/extras/mixing.hash_split — map-only, no shuffle, identical
+    across cluster sizes); reported as per-(split, source) counts.  The
+    integer interval boundaries are computed once and inlined into the
+    oracle, so both engines compare the SAME ints."""
+    from ray.data.aggregate import Count
+
+    from pipeline.extras.mixing import hash_split
+
+    ds = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "source"])
+    out = hash_split(ds, id_col="doc_id").groupby(["split", "source"]) \
+        .aggregate(Count(alias_name="n"))
+    df = out.to_pandas()
+    df["n"] = df["n"].astype("int64")
+    return df.sort_values(["split", "source"]).reset_index(drop=True)
+
+
 def _doc_tfidf_top(sf_dir: str) -> pd.DataFrame:
     """Per-doc top TF-IDF keyword (pipeline/extras/corpusstats.py):
     vocabulary+df to driver once, IDF broadcast, map-only scoring.
@@ -2054,6 +2072,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_ppl_quantiles": _doc_ppl_quantiles,
         "doc_score_quantiles_sketch": _doc_score_quantiles_sketch,
         "docs_cap_per_source": _docs_cap_per_source,
+        "docs_hash_split": _docs_hash_split,
         "doc_dev_from_source_mean": _doc_dev_from_source_mean,
         "curation_end_to_end": _curation_end_to_end,
         "docs_temperature_sample": _docs_temperature_sample,
@@ -2666,6 +2685,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(n_tok) AS BIGINT) AS sel_tokens
             FROM s WHERE cum <= budget
             GROUP BY source ORDER BY source
+        """,
+        "docs_hash_split": """
+            WITH h AS (
+                SELECT source,
+                       ((doc_id % 2147483647) * 1327217884)
+                       % 2147483647 AS hv
+                FROM documents
+            )
+            SELECT CASE WHEN hv < 1717986917 THEN 'train'
+                        WHEN hv < 1932735282 THEN 'val'
+                        ELSE 'test' END AS split,
+                   source, CAST(count(*) AS BIGINT) AS n
+            FROM h GROUP BY 1, 2 ORDER BY split, source
         """,
         "docs_cap_per_source": """
             SELECT doc_id, source FROM (

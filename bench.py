@@ -55,6 +55,7 @@ QUERY_NAMES = [
     "pii_entity_stats", "doc_robust_z_by_source",
     "doc_score_quantiles_sketch", "docs_cap_per_source",
     "doc_dev_from_source_mean", "near_dup_groups_distributed",
+    "docs_hash_split",
     "doc_alnum_ratio", "doc_lang_filter", "doc_len_histogram",
     "doc_minlen_filter", "doc_quality", "events_lag",
     "orders_by_nation", "orders_customer_join",

@@ -106,6 +106,46 @@ def sample_exact_k(
     return out.drop(columns=["_h"]).reset_index(drop=True)
 
 
+def hash_split(
+    ds: "ray.data.Dataset", *, id_col: str,
+    fractions: tuple = (0.8, 0.1, 0.1),
+    names: tuple = ("train", "val", "test"), seed: int = 0,
+) -> "ray.data.Dataset":
+    """Deterministic disjoint train/val/test assignment — the corpus
+    split step of every training-data pipeline, as a MAP-ONLY stage (no
+    shuffle, no sequential state): split i owns the Weyl-hash interval
+    [floor(cum_i*M), floor(cum_{i+1}*M)).  Identical across cluster
+    sizes and run orders, and SQL-verbatim (integer thresholds computed
+    once on the driver, so there is no float boundary to disagree on)."""
+    if len(fractions) != len(names):
+        raise ValueError("fractions and names must align")
+    cum = np.cumsum(np.asarray(fractions, dtype=np.float64))
+    if not np.isclose(cum[-1], 1.0):
+        raise ValueError(f"fractions must sum to 1 (got {cum[-1]})")
+    # interior boundaries as exact ints; last bucket catches everything
+    bounds = np.floor(cum[:-1] * _WEYL_M).astype(np.int64)
+    names_arr = np.asarray(names, dtype=object)
+
+    def assign(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = weyl_hash(ids + np.int64(seed))
+        idx = np.searchsorted(bounds, h, side="right")
+        return t.append_column(
+            "split", pa.array(names_arr[idx], pa.string())
+        )
+
+    return ds.map_batches(
+        assign, batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+
+def hash_split_bounds(fractions: tuple = (0.8, 0.1, 0.1)) -> list[int]:
+    """The integer interval boundaries hash_split uses — exported so an
+    oracle can inline the exact same ints."""
+    cum = np.cumsum(np.asarray(fractions, dtype=np.float64))
+    return [int(x) for x in np.floor(cum[:-1] * _WEYL_M).astype(np.int64)]
+
+
 # ------------------------------------------------------ sequence packing
 
 def pack_greedy(tokens: np.ndarray, budget: int) -> np.ndarray:

@@ -1410,3 +1410,30 @@ def test_groupwise_robust_z_zero_mad(ray_session):
         .to_pandas().sort_values("doc_id")
     )
     assert out["robust_z"].tolist() == [0.0, 0.0, -1.0, 1.0]
+
+
+def test_hash_split_disjoint_complete_and_invariant():
+    """hash_split: every row lands in exactly one split, fractions are
+    respected approximately, assignment is identical across block
+    layouts (map-only determinism), and bad fractions raise."""
+    import ray.data as rd
+
+    from pipeline.extras.mixing import hash_split
+
+    docs = pd.DataFrame({"doc_id": np.arange(3000, dtype=np.int64)})
+    a = hash_split(rd.from_pandas(docs), id_col="doc_id").to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    b = hash_split(rd.from_pandas(docs).repartition(7), id_col="doc_id") \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) == 3000
+    frac = a["split"].value_counts(normalize=True)
+    assert 0.75 < frac["train"] < 0.85
+    assert 0.07 < frac["val"] < 0.13
+    assert 0.07 < frac["test"] < 0.13
+    with pytest.raises(ValueError):
+        hash_split(rd.from_pandas(docs), id_col="doc_id",
+                   fractions=(0.5, 0.2), names=("a", "b", "c"))
+    with pytest.raises(ValueError):
+        hash_split(rd.from_pandas(docs), id_col="doc_id",
+                   fractions=(0.5, 0.2), names=("a", "b"))
