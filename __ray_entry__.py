@@ -70,6 +70,26 @@ def _docs(sf_dir: str):
     return _read(f"{sf_dir}/documents.parquet")
 
 
+def _rows_hint(path: str) -> int | None:
+    """Parquet-metadata row count for size-switch hints — tolerant of
+    directory-shaped / unreadable layouts exactly like _read's schema
+    sniff (the hint is a pure optimization; None just means 'no hint')."""
+    from pathlib import Path
+
+    import pyarrow.parquet as pq
+
+    try:
+        p = Path(path)
+        if p.is_dir():
+            return sum(
+                pq.ParquetFile(f).metadata.num_rows
+                for f in sorted(p.glob("*.parquet"))
+            ) or None
+        return pq.ParquetFile(path).metadata.num_rows
+    except Exception:
+        return None
+
+
 def entry() -> Any:
     """Flagship pipeline smoke over sf0.001: adapt `documents` to the code
     table shape and run quality+scrub end to end (all rows returned with
@@ -93,14 +113,9 @@ def entry() -> Any:
             }
         )
 
-    import pyarrow.parquet as pq
-
-    n = pq.ParquetFile(
-        "/root/testdata/sf0.001/documents.parquet"
-    ).metadata.num_rows
     return flagship_pipeline(
         ds.map_batches(adapt, batch_format="pyarrow"), profile="code",
-        n_rows_hint=n,
+        n_rows_hint=_rows_hint("/root/testdata/sf0.001/documents.parquet"),
     )
 
 
@@ -289,12 +304,14 @@ def _orders_by_nation(sf_dir: str) -> pd.DataFrame:
         # engine groupby touches 25 x n_batches rows, not the fact table.
         import pyarrow.compute as pc
 
+        # count_all, not count: the oracle is count(*) — arrow's plain
+        # count skips nulls and would silently undercount on a null price
         g = pa.table({
             "n_name": t["n_name"], "p": t["o_totalprice"],
-        }).group_by("n_name").aggregate([("p", "sum"), ("p", "count")])
+        }).group_by("n_name").aggregate([("p", "sum"), ([], "count_all")])
         return pa.table({
             "n_name": g["n_name"],
-            "n_orders": pc.cast(g["p_count"], pa.int64()),
+            "n_orders": pc.cast(g["count_all"], pa.int64()),
             "total_price": g["p_sum"],
         })
 
@@ -327,11 +344,8 @@ def _orders_customer_join(sf_dir: str) -> pd.DataFrame:
     cust = _read(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
     )
-    import pyarrow.parquet as pq
-
-    n = pq.ParquetFile(f"{sf_dir}/orders.parquet").metadata.num_rows
     joined = hash_join(orders, cust, on="o_custkey", right_on="c_custkey",
-                       n_rows_hint=n)
+                       n_rows_hint=_rows_hint(f"{sf_dir}/orders.parquet"))
     df = joined.select_columns(["o_orderkey", "c_name", "o_totalprice"]).to_pandas()
     df["o_totalprice"] = _round_ha(df["o_totalprice"], 2)
     return df.sort_values("o_orderkey").reset_index(drop=True)
@@ -1425,14 +1439,11 @@ def _docs_cap_per_source(sf_dir: str) -> pd.DataFrame:
     exchange moves at most k rows per (source, batch), never the corpus."""
     from pipeline.partition import topn_per_key
 
-    import pyarrow.parquet as pq
-
     path = f"{sf_dir}/documents.parquet"
-    n = pq.ParquetFile(path).metadata.num_rows
     ds = _read(path, columns=["doc_id", "source"])
     out = topn_per_key(
         ds, key="source", order_by=["doc_id"], ascending=[True], n=25,
-        n_rows_hint=n,
+        n_rows_hint=_rows_hint(path),
     ).to_pandas()
     return (
         out[["doc_id", "source"]]

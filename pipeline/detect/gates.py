@@ -67,10 +67,8 @@ ADDRESS_CUES = (
     ("delivery", 24), "apt", "suite", "located", "postcode", "zip",
     (" at ", 8),
 )
-AGE_CUES = (
-    "age", "aged", "i'm", "im ", "i am", "brother", "partner", "boyfriend",
-    "girlfriend", "wife", "husband", "friend", "me ", "old",
-)
+# (the loose AGE cue set with unbounded "me "/"old"/relationship words
+# was retired in r4 — see patterns.AGE_CUES_TIGHT / AGE_CUES_B12)
 
 _WINDOW = 60
 _FWD_WINDOW = 14   # forward cues only count when adjacent ("{phone} call me")

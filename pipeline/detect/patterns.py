@@ -28,7 +28,6 @@ from typing import Callable, Match, Optional
 from pipeline.detect import vocab
 from pipeline.detect.gates import (
     ADDRESS_CUES,
-    AGE_CUES,
     DATE_CUES,
     PHONE_CUES,
     SSN_CUES,
@@ -111,7 +110,14 @@ class PatternSpec:
 
 # ---------------------------------------------------------------- gates
 
+import functools
+
+
+@functools.lru_cache(maxsize=64)
 def _fuzzy_re(word: str) -> re.Pattern:
+    """Compiled fuzzy-alternation for a trap/cue word — cached: the
+    gates call this per regex candidate in the scrub hot path, and the
+    2-edit variant list for 7+-char words is O(len^2) strings."""
     from pipeline.detect.gates import _fuzzy_alts
 
     return re.compile("|".join(_fuzzy_alts(word)), re.IGNORECASE)

@@ -151,7 +151,12 @@ def tfidf_top_terms(
          the vocabulary itself is too large to broadcast.
 
        Both regimes compute the identical arithmetic on identical
-       values, so they agree bit-for-bit (property-tested).
+       values, so they agree bit-for-bit (property-tested) — under this
+       function's contract that ``id_col`` uniquely identifies rows
+       (one row = one document).  A doc spanning multiple rows is OUT of
+       contract here: the broadcast regime scores each row separately
+       while the distributed regime merges rows per id (term_freq's df
+       accounting tolerates multi-row docs, tfidf scoring does not).
 
     ``variant="log"`` is the classic smooth idf ln((N+1)/(df+1)) + 1.
     ``variant="recip"`` scores cnt*(N+1) / (len*(df+1)) as ONE float64

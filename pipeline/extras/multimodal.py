@@ -106,12 +106,14 @@ def write_video_table(out_dir, n_rows: int, seed: int = 42, n_files: int = 4) ->
 
 def decode_image_real(payload: bytes):
     """Real-codec seam: decodes with Pillow when it is installed
-    (importlib probe — this container ships no codec libs, so offline
-    the seam raises exactly as before and the stub tests still pass);
-    returns an HxWxC uint8 numpy array."""
+    (importlib probe); returns an HxWxC uint8 numpy array.  The
+    deterministic FAKE container (MAGIC prefix) always raises
+    NotImplementedError — it is not a real image, so handing it to a
+    codec would fail confusingly (and the stub tests must pass in
+    environments that DO ship Pillow)."""
     import importlib.util
 
-    if importlib.util.find_spec("PIL") is not None:
+    if not payload[:4] == MAGIC and importlib.util.find_spec("PIL") is not None:
         import io
 
         from PIL import Image  # type: ignore[import-not-found]
@@ -215,11 +217,12 @@ def make_fake_audio(item_id: int, seed: int = 42) -> tuple[bytes, dict]:
 
 def decode_audio_real(payload: bytes):
     """Real-codec seam: decodes with soundfile when it is installed
-    (importlib probe; offline it raises exactly as before); returns
-    (samples ndarray, sample_rate)."""
+    (importlib probe); returns (samples ndarray, sample_rate).  The fake
+    PCM container (AUDIO_MAGIC prefix) always raises — see
+    decode_image_real."""
     import importlib.util
 
-    if importlib.util.find_spec("soundfile") is not None:
+    if not payload[:4] == AUDIO_MAGIC and importlib.util.find_spec("soundfile") is not None:
         import io
 
         import soundfile  # type: ignore[import-not-found]

@@ -249,7 +249,11 @@ def _bcast_join_batch(batch: pd.DataFrame, *, small_ref, on: str,
     small = _BCAST_JOIN_CACHE.get(key)
     if small is None:
         small = _ray.get(small_ref)
-        _BCAST_JOIN_CACHE.clear()  # bound: one live broadcast per worker
+        while len(_BCAST_JOIN_CACHE) >= 4:
+            # bound memory at 4 live broadcasts per worker, FIFO evict —
+            # a single slot thrashes when two broadcast stages
+            # interleave batches on one worker
+            _BCAST_JOIN_CACHE.pop(next(iter(_BCAST_JOIN_CACHE)))
         _BCAST_JOIN_CACHE[key] = small
     return batch.merge(small, on=on, how=how)
 
@@ -294,8 +298,12 @@ def hash_join(
     small right sides prefer broadcast_join."""
     import ray as _ray
 
-    cpus = int(_ray.cluster_resources().get("CPU", 8))
     if num_partitions is None:
+        try:
+            cpus = int(_ray.cluster_resources().get("CPU", 8))
+        except Exception:
+            # not yet initialised (lazy pipelines auto-init at execution)
+            cpus = 8
         if n_rows_hint is not None:
             num_partitions = max(8, min(2 * cpus, n_rows_hint // 100_000))
         else:

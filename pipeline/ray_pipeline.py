@@ -156,7 +156,7 @@ def quality_task_stage(batch: pa.Table, *, column: str = "content",
     """Task-pool variant of QualityScorer for small inputs.  Ray worker
     processes persist across tasks, so the constructed scorer is cached
     per worker keyed by the broadcast refs (ray.get of an already-local
-    plasma object is ~us); the cache holds ONE scorer to bound memory."""
+    plasma object is ~us); the cache holds up to 4 scorers (FIFO)."""
     key = (column, with_heuristics,
            lang_ref.hex() if lang_ref is not None else None,
            ppl_ref.hex() if ppl_ref is not None else None)
@@ -165,7 +165,10 @@ def quality_task_stage(batch: pa.Table, *, column: str = "content",
         scorer = QualityScorer(column=column, lang_ref=lang_ref,
                                ppl_ref=ppl_ref,
                                with_heuristics=with_heuristics)
-        _TASK_SCORER_CACHE.clear()
+        while len(_TASK_SCORER_CACHE) >= 4:
+            # 4 slots, FIFO evict: one slot thrashes when two task-pool
+            # stages interleave batches on the same worker
+            _TASK_SCORER_CACHE.pop(next(iter(_TASK_SCORER_CACHE)))
         _TASK_SCORER_CACHE[key] = scorer
     return scorer(batch)
 
