@@ -470,7 +470,15 @@ def dup_groups_distributed(
         to_edges, batch_format="pyarrow", zero_copy_batch=True,
     ).materialize()
     edges = rd.from_arrow_refs(edges.to_arrow_refs())
-    id_t = getattr(edges.schema(), "base_schema", edges.schema()).field("src").type
+    sch = edges.schema()
+    if sch is None or edges.count() == 0:
+        # no pairs -> no components; empty frame with the output contract
+        return rd.from_arrow(pa.table({
+            "id": pa.array([], pa.int64()),
+            "canonical_id": pa.array([], pa.int64()),
+            "keep": pa.array([], pa.bool_()),
+        }))
+    id_t = getattr(sch, "base_schema", sch).field("src").type
 
     # Ray's hash aggregate can emit EMPTY blocks with a stripped schema;
     # projections guard by emitting a correctly-typed empty table.

@@ -1437,3 +1437,20 @@ def test_hash_split_disjoint_complete_and_invariant():
     with pytest.raises(ValueError):
         hash_split(rd.from_pandas(docs), id_col="doc_id",
                    fractions=(0.5, 0.2), names=("a", "b"))
+
+
+def test_dup_groups_distributed_empty_and_partitions():
+    """No pairs -> empty keep-list (typed frame, no crash); explicit
+    num_partitions produces the same components."""
+    from pipeline.extras.dedup import dup_groups, dup_groups_distributed
+
+    empty = pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                          "b": pd.Series([], dtype="int64")})
+    out = dup_groups_distributed(empty).to_pandas()
+    assert len(out) == 0
+
+    pairs = pd.DataFrame({"a": [1, 2, 3], "b": [2, 3, 10]})
+    ref = dup_groups(pairs).sort_values("id").reset_index(drop=True)
+    got = dup_groups_distributed(pairs, num_partitions=4).to_pandas() \
+        .sort_values("id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, ref, check_dtype=False)
