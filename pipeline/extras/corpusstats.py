@@ -237,11 +237,16 @@ def _tfidf_distributed(
     n_docs: int | None, max_vocab: int,
 ) -> "ray.data.Dataset":
     """The above-winners-fit TF-IDF regime: vocabulary stays distributed
-    (hash join on term), then a two-phase top-n per doc.  Arithmetic is
-    identical to the broadcast path — the two regimes agree bit-for-bit."""
+    (bucketed groupby-join on term — hash the term into 64 buckets,
+    pandas merge + score inside each group; Ray's native Dataset.join
+    builds zero-column tables for partitions that receive no rows and
+    crashes in pyarrow, a guaranteed failure mode whenever distinct
+    terms ~ partition count), then a two-phase top-n per doc.
+    Arithmetic is identical to the broadcast path — the two regimes
+    agree bit-for-bit."""
     import warnings
 
-    from pipeline.partition import hash_join, topn_per_key
+    from pipeline.partition import topn_per_key
 
     warnings.warn(
         f"tfidf_top_terms: vocabulary has {n_vocab} terms > max_vocab="
@@ -277,35 +282,80 @@ def _tfidf_distributed(
             "len": pa.array(g["len"].to_numpy().astype(np.int64, copy=False)),
         })
 
-    doc_terms = ds.map_batches(
-        explode, batch_format="pyarrow", zero_copy_batch=True,
-    )
-    vocab_df = vocab_agg.map_batches(
-        lambda t: t.filter(pc.not_equal(t["term"], ""))
-                   .select(["term", "n_docs"]),
-        batch_format="pyarrow", zero_copy_batch=True,
-    )
-    joined = hash_join(doc_terms, vocab_df, on="term")
+    id_t = None
+    try:
+        sch = ds.schema()
+        id_t = getattr(sch, "base_schema", sch).field(id_col).type
+    except Exception:
+        id_t = pa.int64()
+    n_buckets = 64
     var = variant
 
-    def score_batch(t: pa.Table) -> pa.Table:
-        cnt = t["cnt"].to_numpy(zero_copy_only=False)
-        ln_ = t["len"].to_numpy(zero_copy_only=False)
-        dfv = t["n_docs"].to_numpy(zero_copy_only=False)
+    def tag_terms(t: pa.Table) -> pa.Table:
+        b = (pd.util.hash_array(
+            t["term"].to_pandas().to_numpy(dtype=object)
+        ) % n_buckets).astype(np.int32)
+        return pa.table({
+            "_b": pa.array(b),
+            "tag": pa.array(np.zeros(t.num_rows, np.int8)),
+            id_col: t[id_col],
+            "term": t["term"],
+            "cnt": t["cnt"],
+            "len": t["len"],
+            "n_docs": pa.nulls(t.num_rows, pa.int64()),
+        })
+
+    def tag_vocab(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.not_equal(t["term"], ""))
+        b = (pd.util.hash_array(
+            t["term"].to_pandas().to_numpy(dtype=object)
+        ) % n_buckets).astype(np.int32)
+        return pa.table({
+            "_b": pa.array(b),
+            "tag": pa.array(np.ones(t.num_rows, np.int8)),
+            id_col: pa.nulls(t.num_rows, id_t),
+            "term": t["term"],
+            "cnt": pa.nulls(t.num_rows, pa.int64()),
+            "len": pa.nulls(t.num_rows, pa.int64()),
+            "n_docs": pc.cast(t["n_docs"], pa.int64()),
+        })
+
+    doc_terms = ds.map_batches(
+        explode, batch_format="pyarrow", zero_copy_batch=True,
+    ).map_batches(tag_terms, batch_format="pyarrow", zero_copy_batch=True)
+    vocab_tagged = vocab_agg.map_batches(
+        tag_vocab, batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+    def merge_score(g: pd.DataFrame) -> pd.DataFrame:
+        prov = g[g["tag"] == 1][["term", "n_docs"]]
+        reqs = g[g["tag"] == 0][[id_col, "term", "cnt", "len"]]
+        m = reqs.merge(prov, on="term", how="inner")
+        # null-padded union columns arrive as floats; the values are
+        # exact small ints, so the int64 round-trip is lossless and
+        # keeps the arithmetic identical to the broadcast regime
+        cnt = m["cnt"].to_numpy().astype(np.int64)
+        ln_ = m["len"].to_numpy().astype(np.int64)
+        dfv = m["n_docs"].to_numpy().astype(np.int64)
         if var == "recip":
             score = ((cnt * np.int64(n + 1)).astype(np.float64)
                      / (ln_ * (dfv + 1)).astype(np.float64))
         else:
             idf = np.log((n + 1.0) / (dfv + 1.0)) + 1.0
             score = cnt / ln_ * idf
-        return pa.table({
-            id_col: t[id_col],
-            "term": t["term"],
-            "score": pa.array(score, pa.float64()),
+        ids = m[id_col].to_numpy()
+        if pa.types.is_integer(id_t):
+            # the null-padded union turned the int id column into
+            # float64; restore the integer dtype (values are exact)
+            ids = ids.astype(np.int64)
+        return pd.DataFrame({
+            id_col: ids,
+            "term": m["term"].to_numpy(),
+            "score": score,
         })
 
-    scored = joined.map_batches(
-        score_batch, batch_format="pyarrow", zero_copy_batch=True,
+    scored = doc_terms.union(vocab_tagged).groupby("_b").map_groups(
+        merge_score, batch_format="pandas",
     )
     out = topn_per_key(
         scored, key=id_col, order_by=["score", "term"],

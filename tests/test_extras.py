@@ -1454,3 +1454,30 @@ def test_dup_groups_distributed_empty_and_partitions():
     got = dup_groups_distributed(pairs, num_partitions=4).to_pandas() \
         .sort_values("id").reset_index(drop=True)
     pd.testing.assert_frame_equal(got, ref, check_dtype=False)
+
+
+def test_tfidf_distributed_tiny_vocab_sparse_partitions():
+    """Regression: the distributed regime must survive a vocabulary far
+    smaller than the partition count (Ray's native join crashed on the
+    zero-column empty partitions this produces; the bucketed groupby-join
+    does not) — and still match the broadcast regime bit-for-bit."""
+    import warnings
+
+    import ray.data as rd
+
+    from pipeline.extras.corpusstats import tfidf_top_terms
+
+    docs = pd.DataFrame({
+        "doc_id": np.arange(6, dtype=np.int64),
+        "text": ["aa bb", "bb aa", "aa", "bb", "aa aa", "bb bb"],
+    })
+    ref = tfidf_top_terms(
+        rd.from_pandas(docs).repartition(3), top_n=1, variant="recip",
+    ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        out = tfidf_top_terms(
+            rd.from_pandas(docs).repartition(3), top_n=1,
+            variant="recip", max_vocab=1,
+        ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(out[ref.columns], ref)
