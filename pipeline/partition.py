@@ -295,7 +295,15 @@ def hash_join(
     partition per 100k rows, clamped to [8, 2 x CPUs].  Each partition
     costs a shuffle-aggregator actor: 64 of them on a 150k-row join was
     ~7 s of process spin-up for ~0.5 s of join work (measured).  For
-    small right sides prefer broadcast_join."""
+    small right sides prefer broadcast_join.
+
+    CAVEAT (Ray 2.49): the native join builds ZERO-COLUMN tables for
+    partitions that receive no rows and crashes in pyarrow ("No match
+    for key field") — only safe when distinct keys >> num_partitions on
+    BOTH sides (true for the above-broadcast-max semi-joins here, whose
+    key sets exceed 2M by contract).  For joins whose key cardinality
+    can be small, use the bucketed groupby-join pattern instead
+    (corpusstats._tfidf_distributed, dedup.dup_groups_distributed)."""
     import ray as _ray
 
     if num_partitions is None:
