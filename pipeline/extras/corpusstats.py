@@ -282,12 +282,16 @@ def _tfidf_distributed(
             "len": pa.array(g["len"].to_numpy().astype(np.int64, copy=False)),
         })
 
-    id_t = None
+    # the id Arrow type anchors the null-padded union columns; a
+    # PandasBlockSchema (from_pandas datasets) has no Arrow fields, so
+    # fall back to sniffing ONE row (cheap; this regime is the rare
+    # above-winners-fit path) — a silent int64 default here produced a
+    # string-vs-int64 schema-unification crash downstream (measured)
     try:
         sch = ds.schema()
         id_t = getattr(sch, "base_schema", sch).field(id_col).type
     except Exception:
-        id_t = pa.int64()
+        id_t = ds.take_batch(1, batch_format="pyarrow").schema             .field(id_col).type
     n_buckets = 64
     var = variant
 
@@ -348,10 +352,13 @@ def _tfidf_distributed(
             # the null-padded union turned the int id column into
             # float64; restore the integer dtype (values are exact)
             ids = ids.astype(np.int64)
-        return pd.DataFrame({
-            id_col: ids,
-            "term": m["term"].to_numpy(),
-            "score": score,
+        # explicit Arrow types: an EMPTY group would otherwise emit a
+        # block whose inferred id type (int64/null) conflicts with the
+        # string blocks at schema-unification time
+        return pa.table({
+            id_col: pa.array(ids, id_t),
+            "term": pa.array(m["term"].to_numpy(), pa.string()),
+            "score": pa.array(score, pa.float64()),
         })
 
     scored = doc_terms.union(vocab_tagged).groupby("_b").map_groups(

@@ -1481,3 +1481,32 @@ def test_tfidf_distributed_tiny_vocab_sparse_partitions():
             variant="recip", max_vocab=1,
         ).to_pandas().sort_values("doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(out[ref.columns], ref)
+
+
+def test_tfidf_distributed_string_ids():
+    """String doc ids through the distributed regime: the null-padded
+    union and the merge must preserve the id's Arrow type (a silent
+    int64 fallback in the type sniff crashed schema unification)."""
+    import warnings
+
+    import ray.data as rd
+
+    from pipeline.extras.corpusstats import tfidf_top_terms
+
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(30)]
+    docs = pd.DataFrame({
+        "doc_id": [f"doc-{i:03d}" for i in range(25)],
+        "text": [" ".join(rng.choice(vocab, size=rng.integers(3, 10)))
+                 for _ in range(25)],
+    })
+    ref = tfidf_top_terms(
+        rd.from_pandas(docs).repartition(3), top_n=2, variant="recip",
+    ).to_pandas().sort_values(["doc_id", "rnk"]).reset_index(drop=True)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        out = tfidf_top_terms(
+            rd.from_pandas(docs).repartition(3), top_n=2,
+            variant="recip", max_vocab=2,
+        ).to_pandas().sort_values(["doc_id", "rnk"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(out[ref.columns], ref)
