@@ -103,6 +103,12 @@ def term_freq(ds: "ray.data.Dataset", *, text_col: str = "text",
 # hashes, URLs) is effectively unbounded and must stay distributed.
 TFIDF_MAX_VOCAB = 2_000_000
 
+# Per-bucket row target for the distributed TF-IDF groupby-join: one
+# bucket materializes as a single pandas merge frame (id, term, cnt,
+# len, n_docs — term strings dominate), so ~1M rows keeps a bucket in
+# the low hundreds of MB on a worker heap regardless of corpus size.
+_TFIDF_BUCKET_TARGET_ROWS = 1_000_000
+
 
 def _tfidf_partial(batch: pa.Table, *, text_col: str,
                    doc_col: str) -> pa.Table:
@@ -128,6 +134,7 @@ def tfidf_top_terms(
     ds: "ray.data.Dataset", *, text_col: str = "text",
     id_col: str = "doc_id", top_n: int = 1, variant: str = "log",
     n_docs: int | None = None, max_vocab: int | None = None,
+    num_partitions: int | None = None,
 ) -> "ray.data.Dataset":
     """Per-document top-``top_n`` TF-IDF terms (keyword extraction /
     topic signal for curation).  Two passes:
@@ -182,7 +189,7 @@ def tfidf_top_terms(
         return _tfidf_distributed(
             ds, vocab_agg, n_vocab=n_vocab, text_col=text_col,
             id_col=id_col, top_n=top_n, variant=variant, n_docs=n_docs,
-            max_vocab=max_vocab,
+            max_vocab=max_vocab, num_partitions=num_partitions,
         )
 
     vocab = vocab_agg.to_pandas()
@@ -234,17 +241,28 @@ def tfidf_top_terms(
 def _tfidf_distributed(
     ds: "ray.data.Dataset", vocab_agg: "ray.data.Dataset", *,
     n_vocab: int, text_col: str, id_col: str, top_n: int, variant: str,
-    n_docs: int | None, max_vocab: int,
+    n_docs: int | None, max_vocab: int, num_partitions: int | None = None,
 ) -> "ray.data.Dataset":
     """The above-winners-fit TF-IDF regime: vocabulary stays distributed
-    (bucketed groupby-join on term — hash the term into 64 buckets,
-    pandas merge + score inside each group; Ray's native Dataset.join
-    builds zero-column tables for partitions that receive no rows and
-    crashes in pyarrow, a guaranteed failure mode whenever distinct
-    terms ~ partition count), then a two-phase top-n per doc.
+    (bucketed groupby-join on term — hash the term into data-sized
+    buckets, pandas merge + score inside each group; Ray's native
+    Dataset.join builds zero-column tables for partitions that receive
+    no rows and crashes in pyarrow, a guaranteed failure mode whenever
+    distinct terms ~ partition count), then a two-phase top-n per doc.
     Arithmetic is identical to the broadcast path — the two regimes
-    agree bit-for-bit."""
+    agree bit-for-bit.
+
+    Bucket count: callers can pass ``num_partitions``; otherwise it is
+    derived from the vocabulary's total occurrence count (sum of the
+    combiner's n_occ — an upper bound on the exploded per-doc
+    distinct-term stream this regime shuffles), targeting
+    ~``_TFIDF_BUCKET_TARGET_ROWS`` rows per bucket so one bucket's
+    pandas merge frame stays worker-heap-sized at ANY corpus scale — a
+    fixed 64 here would put ~1/64 of the whole stream in one frame
+    exactly at the scale this path exists for."""
     import warnings
+
+    from ray.data.aggregate import Sum
 
     from pipeline.partition import topn_per_key
 
@@ -261,6 +279,18 @@ def _tfidf_distributed(
         ).to_pandas()
         n_docs = int(sent["n_docs"].sum())
     n = int(n_docs)
+
+    if num_partitions is None:
+        # total token occurrences (sentinel rows add corpus row count —
+        # harmless slack in an upper bound); one tiny distributed
+        # aggregate over the already-materialized vocabulary
+        tot_occ = int(
+            vocab_agg.aggregate(Sum("n_occ", alias_name="tot"))["tot"]
+        )
+        num_partitions = max(
+            64,
+            min(4096, -(-(tot_occ + n_vocab) // _TFIDF_BUCKET_TARGET_ROWS)),
+        )
 
     def explode(batch: pa.Table) -> pa.Table:
         toks = pc.split_pattern(batch[text_col], " ")
@@ -292,9 +322,15 @@ def _tfidf_distributed(
         id_t = getattr(sch, "base_schema", sch).field(id_col).type
     except Exception:
         id_t = ds.take_batch(1, batch_format="pyarrow").schema             .field(id_col).type
-    n_buckets = 64
+    n_buckets = num_partitions
     var = variant
+    int_id = pa.types.is_integer(id_t)
 
+    # Pad the union's int columns with ZEROS, not nulls: nulls in an
+    # int64 column force pandas to float64 inside merge_score, which is
+    # only exact for |values| < 2^53 — 64-bit hash doc ids would be
+    # silently corrupted.  The padding rows are filtered out by tag
+    # before any value is read, so the fill value is never observed.
     def tag_terms(t: pa.Table) -> pa.Table:
         b = (pd.util.hash_array(
             t["term"].to_pandas().to_numpy(dtype=object)
@@ -306,7 +342,7 @@ def _tfidf_distributed(
             "term": t["term"],
             "cnt": t["cnt"],
             "len": t["len"],
-            "n_docs": pa.nulls(t.num_rows, pa.int64()),
+            "n_docs": pa.array(np.zeros(t.num_rows, np.int64)),
         })
 
     def tag_vocab(t: pa.Table) -> pa.Table:
@@ -314,13 +350,15 @@ def _tfidf_distributed(
         b = (pd.util.hash_array(
             t["term"].to_pandas().to_numpy(dtype=object)
         ) % n_buckets).astype(np.int32)
+        id_pad = (pa.array(np.zeros(t.num_rows, np.int64)).cast(id_t)
+                  if int_id else pa.nulls(t.num_rows, id_t))
         return pa.table({
             "_b": pa.array(b),
             "tag": pa.array(np.ones(t.num_rows, np.int8)),
-            id_col: pa.nulls(t.num_rows, id_t),
+            id_col: id_pad,
             "term": t["term"],
-            "cnt": pa.nulls(t.num_rows, pa.int64()),
-            "len": pa.nulls(t.num_rows, pa.int64()),
+            "cnt": pa.array(np.zeros(t.num_rows, np.int64)),
+            "len": pa.array(np.zeros(t.num_rows, np.int64)),
             "n_docs": pc.cast(t["n_docs"], pa.int64()),
         })
 
@@ -335,9 +373,9 @@ def _tfidf_distributed(
         prov = g[g["tag"] == 1][["term", "n_docs"]]
         reqs = g[g["tag"] == 0][[id_col, "term", "cnt", "len"]]
         m = reqs.merge(prov, on="term", how="inner")
-        # null-padded union columns arrive as floats; the values are
-        # exact small ints, so the int64 round-trip is lossless and
-        # keeps the arithmetic identical to the broadcast regime
+        # zero-padded union columns stay int64 end-to-end (no null ->
+        # float64 promotion), so ids and counts are exact at any
+        # magnitude; astype is a no-op dtype pin
         cnt = m["cnt"].to_numpy().astype(np.int64)
         ln_ = m["len"].to_numpy().astype(np.int64)
         dfv = m["n_docs"].to_numpy().astype(np.int64)
@@ -348,10 +386,6 @@ def _tfidf_distributed(
             idf = np.log((n + 1.0) / (dfv + 1.0)) + 1.0
             score = cnt / ln_ * idf
         ids = m[id_col].to_numpy()
-        if pa.types.is_integer(id_t):
-            # the null-padded union turned the int id column into
-            # float64; restore the integer dtype (values are exact)
-            ids = ids.astype(np.int64)
         # explicit Arrow types: an EMPTY group would otherwise emit a
         # block whose inferred id type (int64/null) conflicts with the
         # string blocks at schema-unification time

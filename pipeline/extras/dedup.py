@@ -448,7 +448,15 @@ def dup_groups_distributed(
     import ray.data as rd
     from ray.data.aggregate import Min
 
+    pairs_id_t = None
     if isinstance(pairs, pd.DataFrame):
+        # capture the id type BEFORE the Dataset round-trip: an empty
+        # pandas frame reaches the emptiness check below with a
+        # PandasBlockSchema that carries no Arrow field types
+        if a_col in pairs.columns:
+            pairs_id_t = pa.Schema.from_pandas(
+                pairs[[a_col]], preserve_index=False
+            ).field(a_col).type
         pairs = rd.from_pandas(pairs)
     n_buckets = num_partitions or 64
 
@@ -472,10 +480,21 @@ def dup_groups_distributed(
     edges = rd.from_arrow_refs(edges.to_arrow_refs())
     sch = edges.schema()
     if sch is None or edges.count() == 0:
-        # no pairs -> no components; empty frame with the output contract
+        # no pairs -> no components; empty frame with the output
+        # contract, typed from the (empty) pairs schema when it is
+        # known so string-id callers keep a consistent id dtype —
+        # int64 only as the truly-untyped fallback
+        try:
+            empty_t = getattr(sch, "base_schema", sch).field("src").type
+        except Exception:
+            empty_t = None
+        if empty_t is None or pa.types.is_null(empty_t):
+            empty_t = pairs_id_t
+        if empty_t is None or pa.types.is_null(empty_t):
+            empty_t = pa.int64()
         return rd.from_arrow(pa.table({
-            "id": pa.array([], pa.int64()),
-            "canonical_id": pa.array([], pa.int64()),
+            "id": pa.array([], empty_t),
+            "canonical_id": pa.array([], empty_t),
             "keep": pa.array([], pa.bool_()),
         }))
     id_t = getattr(sch, "base_schema", sch).field("src").type

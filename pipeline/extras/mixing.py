@@ -43,7 +43,12 @@ _WEYL_A = 1327217884  # round(M / golden ratio); coprime to the prime M
 def weyl_hash(ids: np.ndarray) -> np.ndarray:
     """h(id) in [0, M): golden-ratio Weyl step on (id mod M).  Max
     intermediate is (M-1)*A < 2^62 — int64-safe, and expressible
-    verbatim in SQL: ((id % 2147483647) * 1327217884) % 2147483647."""
+    verbatim in SQL: ((id % 2147483647) * 1327217884) % 2147483647
+    for NON-NEGATIVE ids.  numpy ``%`` is floored (always yields a
+    non-negative remainder) while SQL ``%`` preserves the dividend's
+    sign, so for ids that can be negative the SQL mirror needs the
+    sign-safe form ``((id % M) + M) % M`` in place of ``id % M`` (see
+    sample_order_sql_expr, which emits it)."""
     ids = ids.astype(np.int64, copy=False)
     return (ids % _WEYL_M) * _WEYL_A % _WEYL_M
 
@@ -71,8 +76,16 @@ def weighted_sample(
 
 
 def sample_order_sql_expr(col: str, seed: int = 0) -> str:
-    """The ANSI-SQL mirror of the exact-k sample's ordering key."""
-    return f"((({col} + {seed}) % {_WEYL_M}) * {_WEYL_A}) % {_WEYL_M}"
+    """The ANSI-SQL mirror of the exact-k sample's ordering key —
+    sign-safe: the inner ``(x % M + M) % M`` reproduces numpy's floored
+    modulo for negative ids too (SQL ``%`` preserves sign), so the
+    expression equals ``weyl_hash(id + seed)`` for any int64 id as long
+    as ``id + seed`` itself doesn't overflow int64 (numpy would wrap
+    silently where SQL errors — keep seeds small)."""
+    return (
+        f"(((({col} + {seed}) % {_WEYL_M}) + {_WEYL_M}) % {_WEYL_M})"
+        f" * {_WEYL_A} % {_WEYL_M}"
+    )
 
 
 def sample_exact_k(

@@ -1449,6 +1449,17 @@ def test_dup_groups_distributed_empty_and_partitions():
     out = dup_groups_distributed(empty).to_pandas()
     assert len(out) == 0
 
+    # string-id callers must get a string-typed empty frame (the old
+    # early return hardcoded int64, breaking the output contract)
+    import pyarrow as pa
+    sempty = pd.DataFrame({"a": pd.Series([], dtype="string"),
+                           "b": pd.Series([], dtype="string")})
+    sds = dup_groups_distributed(sempty)
+    ssch = sds.schema()
+    id_t = getattr(ssch, "base_schema", ssch).field("id").type
+    assert pa.types.is_string(id_t) or pa.types.is_large_string(id_t)
+    assert len(sds.to_pandas()) == 0
+
     pairs = pd.DataFrame({"a": [1, 2, 3], "b": [2, 3, 10]})
     ref = dup_groups(pairs).sort_values("id").reset_index(drop=True)
     got = dup_groups_distributed(pairs, num_partitions=4).to_pandas() \
@@ -1481,6 +1492,34 @@ def test_tfidf_distributed_tiny_vocab_sparse_partitions():
             variant="recip", max_vocab=1,
         ).to_pandas().sort_values("doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(out[ref.columns], ref)
+
+
+def test_tfidf_distributed_huge_int_ids_exact():
+    """64-bit hash doc ids (> 2^53) through the distributed regime must
+    come back bit-exact: the union's int columns are zero-padded, not
+    null-padded, so pandas never promotes them to float64 (which is
+    lossy above 2^53 and silently corrupted such ids before)."""
+    import warnings
+
+    import ray.data as rd
+
+    from pipeline.extras.corpusstats import tfidf_top_terms
+
+    base = np.int64(2**62)
+    ids = base + np.arange(8, dtype=np.int64) * 12345
+    assert np.any(ids != ids.astype(np.float64).astype(np.int64))
+    docs = pd.DataFrame({
+        "doc_id": ids,
+        "text": ["aa bb cc", "bb cc", "aa", "cc cc dd", "dd aa",
+                 "bb bb", "aa cc", "dd"],
+    })
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        out = tfidf_top_terms(
+            rd.from_pandas(docs).repartition(3), top_n=1,
+            variant="recip", max_vocab=1,
+        ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert set(out["doc_id"].to_numpy()) == set(ids)
 
 
 def test_tfidf_distributed_string_ids():
