@@ -124,6 +124,11 @@ def _fuzzy_re(word: str) -> re.Pattern:
 
 
 def _gate_luhn(text: str, m: Match) -> str | None:
+    """CONFORMANCE-ONLY Luhn gate: the trap-word escape below keys on
+    the synthetic benchmark's hard-negative vocabulary and must never
+    run on real-world text (a Luhn-valid card near a fuzzy 'missing'
+    shadow would silently escape scrubbing) — the code profile uses
+    :func:`_gate_luhn_plain` instead."""
     if not luhn_ok(m.group()):
         return None
     # hard negative "Card NNNN (missing digit)" [corpus.py
@@ -133,6 +138,12 @@ def _gate_luhn(text: str, m: Match) -> str | None:
     if _fuzzy_re("missing").search(text[m.end(): m.end() + 16]):
         return None
     return "CREDIT_CARD"
+
+
+def _gate_luhn_plain(text: str, m: Match) -> str | None:
+    """Real-world Luhn gate (code profile): checksum only, no
+    benchmark-vocabulary escapes — conservative toward scrubbing."""
+    return "CREDIT_CARD" if luhn_ok(m.group()) else None
 
 
 def _gate_ssn_letter(text: str, m: Match) -> str | None:
@@ -487,7 +498,7 @@ def _code_specs() -> list[PatternSpec]:
     P.append(PatternSpec("API_KEY", GH_TOKEN, flags=0, tg="apikey"))
     P.append(PatternSpec("API_KEY", HEX_SECRET, group=1, tg="apikey"))
     P.append(PatternSpec(None, rf"(?<![\w.])\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}(?![\w.])", gate=_gate_ipv4, tg="ip"))
-    P.append(PatternSpec(None, rf"{NB}\d{{13,19}}{NA}", gate=_gate_luhn))
+    P.append(PatternSpec(None, rf"{NB}\d{{13,19}}{NA}", gate=_gate_luhn_plain))
     P.append(PatternSpec("SSN", rf"{NB}\d{{3}}-\d{{2}}-\d{{4}}{NA}"))
     P.append(PatternSpec("PHONE", rf"{NB}\d{{3}}[-.]\d{{3}}[-.]\d{{4}}{NA}"))
     P.append(PatternSpec("PHONE", rf"{NB}\(\d{{3}}\) ?\d{{3}}-\d{{4}}{NA}"))

@@ -163,6 +163,24 @@ def test_code_profile_scrubs_code_secrets():
     assert conf_spans == []
 
 
+def test_code_profile_luhn_ignores_benchmark_trap_words():
+    """The conformance Luhn gate's 'missing'-shadow escape keys on the
+    synthetic benchmark's hard-negative vocabulary; on real-world text
+    (code profile) a Luhn-valid card must be scrubbed even when trap-ish
+    words follow it."""
+    from pipeline.detect.scrub import scrub_text
+
+    card = "4111111111111111"  # Luhn-valid test PAN
+    for trail in (" (missing from ledger)", " misusing the field", ""):
+        src = f"card = {card}{trail}\n"
+        scrubbed, spans = scrub_text(src, profile="code")
+        assert card not in scrubbed, trail
+        assert any(s.label == "CREDIT_CARD" for s in spans), trail
+    # conformance profile keeps the trap escape (synthetic hard negative)
+    _, conf = scrub_text(f"Card {card} (missing digit)", profile="conformance")
+    assert not any(s.label == "CREDIT_CARD" for s in conf)
+
+
 def test_trigger_groups_cover_all_specs():
     from pipeline.detect.patterns import get_specs, get_trigger_groups
 
