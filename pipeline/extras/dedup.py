@@ -413,6 +413,7 @@ def dup_groups(pairs, *, a_col: str = "a", b_col: str = "b") -> pd.DataFrame:
 def dup_groups_distributed(
     pairs, *, a_col: str = "a", b_col: str = "b", max_iter: int = 64,
     num_partitions: int | None = None,
+    finish_local_max_edges: int = 2_000_000,
 ) -> "ray.data.Dataset":
     """Distributed connected components over a near-dup pair stream —
     the above-winners-fit path for ``dup_groups`` (same output contract:
@@ -444,7 +445,22 @@ def dup_groups_distributed(
     Dataset.join, whose hash-shuffle aggregator builds zero-column
     tables for partitions that receive no rows (sparse partitions are
     GUARANTEED here once labels converge onto few roots) and crashes in
-    pyarrow.  num_partitions bounds per-bucket memory to ~|edges|/P."""
+    pyarrow.  num_partitions bounds per-bucket memory to ~|edges|/P.
+
+    Early exit: after the init round the ACTIVE FRONTIER — condensed
+    label-graph edges ``(lbl(src), lbl(dst))`` that still cross two
+    labels — is measured once.  Near-dup pair streams are LSH cliques
+    of diameter 1-2, so the frontier usually collapses to a sliver of
+    the input immediately; when it holds ≤ ``finish_local_max_edges``
+    rows the components are finished by ONE union-find task over the
+    condensed graph plus one relabel shuffle, instead of paying
+    O(log diameter) more full rounds.  Contracting each label class
+    (all nodes sharing a current label are provably in one component,
+    and every label is a member of its component with lbl(node) ≤
+    node) preserves connectivity, so the condensed minimum IS the
+    component minimum.  Pass ``finish_local_max_edges=0`` to force the
+    pure iterative path (chains/trees with a large surviving frontier
+    fall through to it automatically)."""
     import ray.data as rd
     from ray.data.aggregate import Min
 
@@ -608,8 +624,94 @@ def dup_groups_distributed(
     import os as _os
     import time as _time
     _dbg = bool(_os.environ.get("GRAFT_CC_DEBUG"))
-    chk = _checksum(labels)
+
+    converged = False
+    if finish_local_max_edges:
+        # ---- frontier measurement (one bucketed lookup chain): the
+        # condensed edges (lbl(src), lbl(dst)) that still cross two
+        # label classes.  Snap BEFORE counting so the local finish
+        # reads stored blocks instead of replaying the lookups.
+        half = _lookup(edges, "src", "dst", providers=labels)
+        cond = _lookup(half, "a", "b", providers=labels)
+
+        def _crossing(t: pa.Table) -> pa.Table:
+            if not all(c in t.column_names for c in ("a", "b")):
+                return pa.table({"a": pa.array([], id_t),
+                                 "b": pa.array([], id_t)})
+            return t.filter(pc.not_equal(t["a"], t["b"]))
+
+        cond = _snap(cond.map_batches(
+            _crossing, batch_format="pyarrow", zero_copy_batch=True,
+        ))
+        ncond = cond.count()
+        if _dbg:
+            print(f"[cc] frontier after init: {ncond} rows", flush=True)
+        if ncond == 0:
+            # lbl is constant along every edge => constant per component
+            # => it is the component minimum (labels are component
+            # members with lbl(node) <= node).  Fully converged.
+            converged = True
+        elif ncond <= finish_local_max_edges:
+            def _local_finish(g: pd.DataFrame) -> pa.Table:
+                res = dup_groups(g[["a", "b"]])
+                return pa.table({
+                    "node": pa.Array.from_pandas(res["id"], type=id_t),
+                    "lbl": pa.Array.from_pandas(
+                        res["canonical_id"], type=id_t),
+                })
+
+            mapping = cond.map_batches(
+                lambda t: t.append_column(
+                    "_g", pa.array(np.zeros(t.num_rows, np.int32))),
+                batch_format="pyarrow", zero_copy_batch=True,
+            ).groupby("_g").map_groups(
+                _local_finish, batch_format="pandas",
+            )
+
+            # relabel every node: lbl -> R(lbl) from the mapping, labels
+            # absent from the condensed graph keep themselves (their
+            # class is its whole component, already at the minimum).
+            # Split hit/miss BEFORE the merge: a left merge would
+            # null-pad and promote int64 labels to float64 (lossy past
+            # 2^53 for hash ids).
+            def _relabel_group(g: pd.DataFrame) -> pa.Table:
+                prov = g[g["tag"] == 1]
+                reqs = g[g["tag"] == 0]
+                if not len(reqs):
+                    return pa.table({"node": pa.array([], id_t),
+                                     "lbl": pa.array([], id_t)})
+                known = reqs["k"].isin(prov["k"])
+                m = reqs[known].merge(
+                    prov, on="k", how="inner", suffixes=("_p", "_v"))
+                miss = reqs[~known]
+                node = pd.concat([m["x_p"], miss["x"]],
+                                 ignore_index=True)
+                lbl = pd.concat([m["x_v"], miss["k"]],
+                                ignore_index=True)
+                return pa.table({
+                    "node": pa.Array.from_pandas(node, type=id_t),
+                    "lbl": pa.Array.from_pandas(lbl, type=id_t),
+                })
+
+            tagged = labels.map_batches(
+                _tagged("lbl", "node", 0),
+                batch_format="pyarrow", zero_copy_batch=True,
+            ).union(mapping.map_batches(
+                _tagged("node", "lbl", 1),
+                batch_format="pyarrow", zero_copy_batch=True,
+            ))
+            labels = tagged.groupby("_b").map_groups(
+                _relabel_group, batch_format="pandas",
+            )
+            converged = True
+            if _dbg:
+                print("[cc] finished locally (one union-find task)",
+                      flush=True)
+
+    chk = None if converged else _checksum(labels)
     for _round in range(max_iter):
+        if converged:
+            break
         _t0 = _time.time()
         # ONE bucketed lookup serves both message kinds: edge (src, dst)
         # proposes lbl(src) to dst (flooding), and each node proposes

@@ -726,6 +726,26 @@ def test_dup_groups_distributed_matches_driver():
     pd.testing.assert_frame_equal(out, ref, check_dtype=False)
 
 
+def test_dup_groups_distributed_local_finish_equals_pure_loop():
+    """The frontier early-exit (single union-find task over the
+    condensed label graph + one relabel shuffle) must be invisible:
+    identical output to the pure iterative path on a graph whose
+    frontier SURVIVES the init round (a chain — diameter 40 — so the
+    local finish does real work, not just the converged no-op)."""
+    from pipeline.extras.dedup import dup_groups_distributed
+
+    i = np.arange(1, 41, dtype=np.int64)
+    chain = pd.DataFrame({"a": 1000 + i, "b": 1000 + i - 1})
+    # offset ids so canonical != 0 exercises non-trivial minima
+    loop = dup_groups_distributed(chain, finish_local_max_edges=0) \
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    local = dup_groups_distributed(chain, finish_local_max_edges=10**6) \
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(local, loop, check_dtype=False)
+    assert (local["canonical_id"] == 1000).all()
+    assert int(local["keep"].sum()) == 1
+
+
 def test_dup_groups_distributed_planted_100k_component():
     """Planted single component with 100_000 pairs (binary-tree edges
     (i, i//2)): every node must resolve to canonical 0 with exactly one
@@ -741,7 +761,8 @@ def test_dup_groups_distributed_planted_100k_component():
     pairs = pd.DataFrame({"a": i, "b": i // 2})
     assert len(pairs) == 100_000
     out = dup_groups_distributed(
-        rd.from_pandas(pairs).repartition(8)
+        rd.from_pandas(pairs).repartition(8),
+        finish_local_max_edges=0,  # force the pure iterative path
     ).to_pandas()
     assert len(out) == n
     assert (out["canonical_id"] == 0).all()
