@@ -101,7 +101,7 @@ def run_headline() -> dict:
     # warm page cache (untimed) so we measure compute, not first-touch IO
     rd.read_parquet(str(FIXTURE_DIR)).count()
     # warm worker imports + model broadcast path (untimed, tiny slice).
-    # This warms the TASK-pool regime (BENCH_ROWS <= 200k): fresh Ray
+    # This warms the TASK-pool regime (BENCH_ROWS <= 1M): fresh Ray
     # workers pay ~1 s of module imports on their first flagship batch.
     # Above FLAGSHIP_TASK_POOL_MAX_ROWS the timed run uses the actor
     # pool, whose actors are fresh processes regardless — their spin-up
