@@ -302,8 +302,83 @@ def run_scaling() -> None:
     print(json.dumps(summary))
 
 
+def run_resume_drill() -> None:
+    """Bench-scale checkpoint-resume drill (VERDICT r4 item 5): run the
+    partitioned flagship over a 2M-row fixture, delete half the
+    committed manifests (simulating a mid-job kill — data without a
+    manifest is uncommitted by protocol and must be recomputed), re-run,
+    and assert (a) exactly the de-committed partitions recompute while
+    the rest are skipped, (b) the global ledger256 is bit-identical to
+    the uninterrupted run's. Records BENCH/RESUME_DRILL.json."""
+    import shutil
+
+    import ray
+
+    os.environ.setdefault("RAY_DEFAULT_OBJECT_STORE_MEMORY_PROPORTION", "0.5")
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=NUM_CPUS,
+                 include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from pipeline.synth.codegen import write_code_table
+
+    drill_rows = int(os.environ.get("GRAFT_DRILL_ROWS", "2000000"))
+    fix = Path(f"/tmp/graft_bench/code_{drill_rows}_l40")
+    if not (fix / "_COMPLETE").exists():
+        write_code_table(fix, drill_rows, n_files=32, use_ray=True, lines=40)
+        (fix / "_COMPLETE").write_text("ok")
+    files = sorted(str(p) for p in fix.glob("*.parquet"))
+
+    from pipeline.checkpoint import global_ledger, run_partitioned
+
+    out = Path("/tmp/graft_bench/resume_drill")
+    if out.exists():
+        shutil.rmtree(out)
+    t0 = time.monotonic()
+    s1 = run_partitioned(files, out, files_per_partition=2)
+    wall_full = time.monotonic() - t0
+    led1 = global_ledger(out)
+
+    manifests = sorted((out / "_manifests").glob("part-*.json"))
+    dropped = manifests[::2]
+    for m in dropped:
+        m.unlink()
+
+    t0 = time.monotonic()
+    s2 = run_partitioned(files, out, files_per_partition=2)
+    wall_resume = time.monotonic() - t0
+    led2 = global_ledger(out)
+
+    assert s2["partitions_run"] == len(dropped), s2
+    assert s2["partitions_skipped"] == s1["partitions_run"] - len(dropped), s2
+    assert s2["total_rows"] == s1["total_rows"], (s1, s2)
+    assert led1 == led2, (led1, led2)
+
+    summary = {
+        "drill_rows": drill_rows,
+        "partitions": s1["partitions_run"],
+        "manifests_dropped": len(dropped),
+        "resume_recomputed": s2["partitions_run"],
+        "resume_skipped": s2["partitions_skipped"],
+        "kept_rows": s1["total_rows"],
+        "wall_full_sec": round(wall_full, 2),
+        "wall_resume_sec": round(wall_resume, 2),
+        "ledger256_match": led1 == led2,
+        "num_cpus": NUM_CPUS,
+    }
+    bench_dir = Path(__file__).resolve().parent / "BENCH"
+    bench_dir.mkdir(exist_ok=True)
+    (bench_dir / "RESUME_DRILL.json").write_text(json.dumps(summary, indent=2))
+    print(json.dumps(summary))
+    ray.shutdown()
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         run_scaling()
+    elif "--resume-drill" in sys.argv:
+        run_resume_drill()
     else:
         main()

@@ -16,17 +16,18 @@ import pandas as pd
 import pytest
 
 SF_DIR = "/root/testdata/sf0.001"
+SF01_DIR = "/root/testdata/sf0.1"
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings",
 ]
 
 
-def _connect():
+def _connect(sf_dir: str = SF_DIR):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
     return con
 
@@ -68,11 +69,10 @@ def con():
     c.close()
 
 
-@pytest.mark.parametrize("name", oracle_checked_names())
-def test_query_matches_oracle(ray_session, con, name):
+def _assert_parity(con, name: str, sf_dir: str) -> None:
     import __ray_entry__ as entrymod
 
-    engine = entrymod.queries()[name](SF_DIR)
+    engine = entrymod.queries()[name](sf_dir)
     if hasattr(engine, "to_pandas"):
         engine = engine.to_pandas()
     oracle = con.execute(entrymod.oracle_sql()[name]).df()
@@ -85,3 +85,25 @@ def test_query_matches_oracle(ray_session, con, name):
     if _value_hash(e) != _value_hash(o):
         merged = e.compare(o) if e.shape == o.shape else None
         raise AssertionError(f"{name}: value hash mismatch; diff:\n{merged}")
+
+
+@pytest.mark.parametrize("name", oracle_checked_names())
+def test_query_matches_oracle(ray_session, con, name):
+    _assert_parity(con, name, SF_DIR)
+
+
+@pytest.fixture(scope="module")
+def con01():
+    c = _connect(SF01_DIR)
+    yield c
+    c.close()
+
+
+@pytest.mark.sf01
+@pytest.mark.parametrize("name", oracle_checked_names())
+def test_query_matches_oracle_sf01(ray_session, con01, name):
+    """VERDICT r4 item 6: the same full parity sweep at sf0.1 —
+    reproducible via `pytest -m sf01` (deselected by default through
+    pytest.ini addopts; the builder's manual sf0.1 sweeps are now a
+    one-command target)."""
+    _assert_parity(con01, name, SF01_DIR)
