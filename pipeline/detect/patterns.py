@@ -494,9 +494,16 @@ def _code_specs() -> list[PatternSpec]:
     """
     P: list[PatternSpec] = []
     P.append(PatternSpec("EMAIL", rf"(?<![A-Za-z0-9_%+.])[A-Za-z0-9_%+.]+@[A-Za-z0-9_%+]+(?:\.[A-Za-z0-9_%+]+)+", tg="email"))
-    P.append(PatternSpec("API_KEY", AWS_KEY, flags=0, tg="apikey"))
-    P.append(PatternSpec("API_KEY", GH_TOKEN, flags=0, tg="apikey"))
-    P.append(PatternSpec("API_KEY", HEX_SECRET, group=1, tg="apikey"))
+    # per-pattern trigger keys [VERDICT r4 item 7]: one shared "apikey"
+    # trigger fired on 74% of bench rows (any mention of "token" etc.)
+    # and ran all three patterns on every fired row — the 45 us/row
+    # HEX_SECRET scan dominated the scrub stage. Split triggers confine
+    # each pattern to rows containing its own necessary prefix; the
+    # hexsec trigger includes the assignment "[:=]" so a bare keyword
+    # mention no longer fires it.
+    P.append(PatternSpec("API_KEY", AWS_KEY, flags=0, tg="aws"))
+    P.append(PatternSpec("API_KEY", GH_TOKEN, flags=0, tg="ghtok"))
+    P.append(PatternSpec("API_KEY", HEX_SECRET, group=1, tg="hexsec"))
     P.append(PatternSpec(None, rf"(?<![\w.])\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}(?![\w.])", gate=_gate_ipv4, tg="ip"))
     P.append(PatternSpec(None, rf"{NB}\d{{13,19}}{NA}", gate=_gate_luhn_plain))
     P.append(PatternSpec("SSN", rf"{NB}\d{{3}}-\d{{2}}-\d{{4}}{NA}"))
@@ -539,7 +546,13 @@ _PROFILE_TRIGGERS: dict[str, dict[str, str]] = {
     },
     "code": {
         "email": r"@",
-        "apikey": r"AKIA|gh[pousr]_|(?i:api[_-]?key|secret|token|password|passwd)",
+        "aws": r"AKIA",
+        "ghtok": r"gh[pousr]_",
+        # the assignment marker AND a >=16-char value are part of every
+        # HEX_SECRET match, so a bare keyword mention ("token" in
+        # prose/code) or a short assigned value never fires this
+        "hexsec": (r"(?i:api[_-]?key|secret|token|password|passwd)"
+                   r"\s*[:=]\s*[\"']?[A-Za-z0-9_\-]{16}"),
         "ip": r"[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+",
         "num": r"(?i:[0-9]{9}|[0-9]{3}[-.][0-9]|\([0-9]{3}\)|\+[0-9])",
     },
