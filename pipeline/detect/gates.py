@@ -44,7 +44,18 @@ def year_ok(s: str) -> bool:
 # every cue below is a word the templates place near the corresponding slot.
 # An entry may be (word, max_backward_distance) to keep promiscuous cues
 # (" at ") from firing across a whole window.
-SSN_CUES = ("ssn", "social", "sozial", "national id", "tax id")
+SSN_CUES = (
+    "ssn", "social", "sozial", "national id", "tax id",
+    # "don't share ur ssn like {ssn}" [templates.py:31]: space-transpose
+    # noise glues the cue to "like" ("Ssnl ike"), which the boundary-
+    # wrapped "ssn" cue correctly refuses — the 6-char "ur ssn" form gets
+    # the standard 1-edit fuzzy budget and needs no boundary
+    "ur ssn",
+    # "Social Number: {ssn}" [templates.py:26] when noise kills "Social"
+    # beyond its 1-edit budget; distance-tight so "lost ur number, mine
+    # is {phone}" [templates.py:48, cue ~16 chars out] never fires it
+    ("number", 12),
+)
 PHONE_CUES = (
     # NOTE: bare "number" deliberately absent — it appears in "Social
     # Number: {ssn}" and would outscore the farther "social" cue.
@@ -55,6 +66,7 @@ PHONE_CUES = (
     ("info", 58),
     (" or ", 6),   # "{email} or {phone}" tail
     ("nr", 8),     # "… {email} nr {phone}." template abbreviation
+    (" not ", 6),  # "email me at {email} not {phone}" [templates.py:91]
 )
 DATE_CUES = (
     "dob", "born", "date", "birthday", "exp", "expected", "registered",
@@ -109,7 +121,7 @@ def _fuzzy_alts(word: str) -> list[str]:
     # wildcard ("C nTact"), and the short boundary-wrapped cues keep it
     # too — "S SN:" / "D Ob" space-noise MUST still match (measured 28
     # SSN misses when it doesn't).
-    bounded_short = word in ("ssn", "dob", " at ", "call", "dial")
+    bounded_short = word in ("ssn", "dob", " at ", "call", "dial", "age:", "info")
     wc = "." if (len(word) >= 6 or bounded_short) else r"[^\s]"
     if len(word) >= 5 or bounded_short:
         for i in range(len(word)):
@@ -128,7 +140,7 @@ def _fuzzy_alts(word: str) -> list[str]:
                     re.escape(word[:i]) + "." + re.escape(word[i + 1: j])
                     + "." + re.escape(word[j + 1:])
                 )
-    if word in ("ssn", "dob", "call", "dial"):
+    if word in ("ssn", "dob", "call", "dial", "age:", "info"):
         # short fuzzy cues need token boundaries ("s.n" would match inside
         # "santiago", ".ial" inside "social"). The leading boundary blocks
         # only LOWERCASE neighbors — case-scoped (?-i:) so swap-noise like
@@ -165,7 +177,9 @@ def _cue_res(cues: tuple) -> list[tuple[re.Pattern, int]]:
 # Real English tokens that sit one edit from a cue word and appear in the
 # templates themselves: "at gmail DOT com" (obfuscated emails) is one
 # substitution from the DATE cue "dob" — measured DATE false positives.
-_CUE_DENY = frozenset({"dot"})
+# "into" is one substitution from the PHONE cue "info" (carrier prose,
+# never a phone label).
+_CUE_DENY = frozenset({"dot", "into"})
 
 
 def _nearest(win: str, cues: tuple, *, from_end: bool) -> int:

@@ -200,18 +200,45 @@ def _gate_num9_10(text: str, m: Match) -> str | None:
     return "SSN" if s[0] == "0" else "PHONE"
 
 
+def _gate_phone_prefix(text: str, m: Match) -> str | None:
+    """Sampled phone prefixes ("phone: {p}" [G:194-199]) are lowercase,
+    but inside-span noise flips their case ("PhoNe: 264-454-5307") —
+    match case-insensitively and reject only the canonical CARRIER
+    casing ("Phone: " record labels, templates.py:53 etc.), whose value
+    is then caught prefix-less by the bare shape. The all-lowercase
+    "phone:" stays included: it is the sampled format's own text (the
+    lowercase carrier of templates.py:97 colliding with a bare sampled
+    value is the rarer reading — measured)."""
+    if m.group(1) in ("Phone:", "Tel:", "Call me at"):
+        return None
+    if not m.group(1).islower():
+        # case-noised prefix at a record-field position ("\nPhOne: …",
+        # ", PhoNe: …") is the template's own CARRIER label hit by
+        # outside-span noise; sampled prefixes sit mid-prose or after
+        # another cue ("or call PHone: …"). CSV fields (comma, no
+        # space) keep their sampled prefixes.
+        pre2 = text[max(0, m.start() - 2): m.start()]
+        if pre2.endswith("\n") or pre2 == ", ":
+            return None
+    return "PHONE"
+
+
 def _gate_dotspace334(text: str, m: Match) -> str | None:
     """ddd.ddd.dddd / ddd ddd dddd is both an SSN format [G:138-141] and a
     phone variation [G:186-187]. Phone area/exchange groups start 2-9 by
-    construction (providers._phone_base), SSN groups are 100-999 — a
-    leading '1' in group 1 or 2 proves SSN with zero phone-FP risk.
-    Otherwise nearest context cue decides; cueless candidates fall back
-    to the delimiter structure of the record templates, then to the
-    digit-shape default PHONE."""
+    construction (providers._phone_base, area capped at 989), SSN groups
+    are 100-999 — a leading '1' in group 1 or 2, or an area group >= 990,
+    proves SSN with zero phone-FP risk. Otherwise nearest context cue
+    decides; cueless candidates fall back to the delimiter structure of
+    the record templates, then to the digit-shape default PHONE (the
+    majority truth at that fallback: measured 22 PHONE vs 9 SSN per 4k
+    first-try docs — the residue is irreducible shape ambiguity)."""
     s = m.group()
     tail = s.replace(" ", "").replace(".", "")
     if len(tail) != 10:
         return "PHONE"
+    if tail[:3] >= "990":
+        return "SSN"  # _phone_base area group is 200-989
     lbl = resolve_numeric_cue(
         text, m.start(), m.end(),
         [("SSN", SSN_CUES), ("PHONE", PHONE_CUES)],
@@ -270,6 +297,11 @@ AGE_CUES_TIGHT = (
     ("brother", 12), ("partner", 12), ("boyfriend", 12),
     ("girlfriend", 12), ("wife", 12), ("husband", 12), ("friend", 12),
     ("old", 11),
+    # "I {age} just broke up" [templates.py:38]: the forward "broke"
+    # (noise-tolerant, 1-edit) is the only cue when "I" carries no
+    # apostrophe; distance-tight so prose "broke" elsewhere can't adopt
+    # stray noise bigrams
+    ("broke", 12),
 )
 
 
@@ -285,10 +317,18 @@ def _gate_age_cue(text: str, m: Match) -> str | None:
     )
 
 
-AGE_CUES_B12 = (("age", 10), ("aged", 10), ("i'm", 6), ("im ", 6),
+# "age:" (colon-anchored) gets a 1-edit fuzzy budget the bare 3-char
+# "age" cannot afford (".ge"/"a.e" shadows sit inside are/ave/ago):
+# the labeled record template "Age: {age}" survives noise on the word
+# ("AgK: 86") because the colon+digit context never follows a shadow.
+AGE_CUES_B12 = (("age", 10), ("age:", 10), ("aged", 10), ("i'm", 6),
+                ("im ", 6),
                 ("i am", 6), ("brother", 12), ("partner", 12),
                 ("boyfriend", 12), ("girlfriend", 12), ("wife", 12),
-                ("husband", 12), ("friend", 12), ("old", 11))
+                ("husband", 12), ("friend", 12), ("old", 11),
+                # "is leaving me {age}" / "I {age} just broke up"
+                # [templates.py:38,41] — template-specific, tight
+                ("leaving me", 8), ("broke", 12))
 
 
 def _gate_bare12(text: str, m: Match) -> str | None:
@@ -363,7 +403,8 @@ def _conformance_specs() -> list[PatternSpec]:
     ph334 = rf"\d{{3}}{SEP_D}\d{{3}}{SEP_D}\d{{4}}"
     # sampled prefixes are lowercase [G:194-199]; carrier labels ("Phone: ")
     # are capitalized — case-sensitive so the carrier prefix stays outside
-    P.append(PatternSpec("PHONE", rf"(?:call me at|tel:|phone:) {ph334}", flags=0))
+    P.append(PatternSpec(None, rf"((?:call me at|tel:|phone:)) {ph334}",
+                         gate=_gate_phone_prefix))
     P.append(PatternSpec("PHONE", rf"ends in \d{{4}}"))                                     # [G:193]
     P.append(PatternSpec("PHONE", rf"(?:xxx|\*\*\*){SEP_D}(?:xxx|\*\*\*){SEP_D}\d{{4}}"))   # [G:191-192]
     P.append(PatternSpec("PHONE", rf"{NB}{ph334}{NA}"))                                     # 555-123-4567

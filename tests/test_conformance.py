@@ -28,9 +28,12 @@ def test_first_try_span_f1_at_least_099():
     report = finalize(counts)
     # raised 0.99 -> 0.995 (r3: cue-window case fix + delimiter-structure
     # fallback) -> 0.996 (r4: trap-word gates for noised hard negatives,
-    # distance-tight AGE cues, fuzzy-wildcard space restriction;
-    # measured 0.9961 at N=4000)
-    assert report["micro"]["f1"] >= 0.996, report["micro"]
+    # distance-tight AGE cues, fuzzy-wildcard space restriction)
+    # -> 0.997 (r5 census fixes: SSN area>=990 rule, colon-anchored
+    # fuzzy "age:"/"info" cues, template cues "ur ssn"/"number"/
+    # "leaving me"/"broke"/" not ", case-noised sampled phone prefixes
+    # with record-field carrier rejection; measured 0.99703 at N=4000)
+    assert report["micro"]["f1"] >= 0.997, report["micro"]
 
 
 def test_conformance_rows_exact_parity():
