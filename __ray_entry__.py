@@ -597,6 +597,26 @@ def _ngram_jaccard(sf_dir: str) -> pd.DataFrame:
     return df
 
 
+def _ngram_dup_groups(sf_dir: str) -> pd.DataFrame:
+    """Connected components over the EXACT word-3-gram-Jaccard pair
+    stream — the oracle-verifiable twin of near_dup_groups_distributed:
+    the same distributed CC operator (min-label propagation + frontier
+    early-exit, dedup.dup_groups_distributed), but fed by the
+    SQL-expressible exact pair definition so the full pipeline
+    (pairs -> closure -> keep-list) is mirrored in ANSI SQL via a
+    WITH RECURSIVE reachability closure and driver-hash-checked."""
+    from pipeline.extras.dedup import dup_groups_distributed, ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(
+        _docs(sf_dir), threshold=0.5, n_docs_hint=_n_docs(sf_dir)
+    )
+    out = dup_groups_distributed(pairs).to_pandas()
+    out["id"] = out["id"].astype("int64")
+    out["canonical_id"] = out["canonical_id"].astype("int64")
+    out["keep"] = out["keep"].astype(bool)
+    return out.sort_values("id").reset_index(drop=True)
+
+
 def _simhash_pairs(sf_dir: str) -> pd.DataFrame:
     from pipeline.extras.dedup import simhash_pairs
 
@@ -2028,11 +2048,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     Slots 1-18: SQL-oracled entries that had no driver-green record
     through r4 (judge-verified via the in-repo parity sweep only) —
     rotated to the front of the 50-slot window this round.
-    Slots 19-50: SQL-oracled entries already driver-graded oracle-exact
+    Slot 19: ngram_dup_groups, new in r5 (distributed CC with a
+    WITH RECURSIVE SQL oracle) — graded first time this round.
+    Slots 20-50: SQL-oracled entries already driver-graded oracle-exact
     in CORRECTNESS_r04.
-    Slots 51-57: SQL-oracled entries with durable r04 exact records,
+    Slots 51-58: SQL-oracled entries with durable r04 exact records,
     rotated out to make room (still swept by test_oracle_parity.py).
-    Slots 58-73: rows-only (no SQL oracle) entries.
+    Slots 59-74: rows-only (no SQL oracle) entries.
     """
     return {
         # --- slots 1-18: rotate into the graded window (r5) ---
@@ -2054,7 +2076,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curation_end_to_end": _curation_end_to_end,
         "docs_temperature_sample": _docs_temperature_sample,
         "doc_robust_z_by_source": _doc_robust_z_by_source,
-        # --- slots 19-50: driver-graded oracle-exact in r04 ---
+        # --- slot 19: new in r5 (distributed CC + recursive-CTE oracle) ---
+        "ngram_dup_groups": _ngram_dup_groups,
+        # --- slots 20-50: driver-graded oracle-exact in r04 ---
         "doc_source_counts": _doc_source_counts,
         "doc_quality": _doc_quality,
         "orders_by_nation": _orders_by_nation,
@@ -2086,8 +2110,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_blocklist": _doc_blocklist,
         "doc_line_dedup": _doc_line_dedup,
         "doc_normalize": _doc_normalize,
+        # --- slots 51-58: rotated out (durable r04 exact records) ---
         "docs_sample_k": _docs_sample_k,
-        # --- slots 51-57: rotated out (durable r04 exact records) ---
         "doc_length_stats": _doc_length_stats,
         "doc_minlen_filter": _doc_minlen_filter,
         "doc_lang_filter": _doc_lang_filter,
@@ -2246,6 +2270,50 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON sb.doc_id = id_b
             WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.5
             ORDER BY a, b
+        """,
+        # ngram_dup_groups: the same exact-Jaccard pair definition as
+        # ngram_jaccard_pairs, closed transitively with a WITH RECURSIVE
+        # reachability walk (ANSI SQL:1999); canonical = component-min.
+        # Closure rows are bounded per component (candidate-pair scale),
+        # never corpus scale.
+        "ngram_dup_groups": r"""
+            WITH RECURSIVE words AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(text, '\s+'),
+                                   w -> w <> '') AS ws
+                FROM documents
+            ), grams AS (
+                SELECT doc_id,
+                       CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+                            ELSE [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                                  FOR i IN generate_series(1, len(ws) - 2)]
+                       END AS gs
+                FROM words
+            ), gset AS (
+                SELECT doc_id, unnest(list_distinct(gs)) AS g FROM grams
+            ), sizes AS (
+                SELECT doc_id, count(*) AS n FROM gset GROUP BY doc_id
+            ), inter AS (
+                SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS i
+                FROM gset x JOIN gset y
+                  ON x.g = y.g AND x.doc_id < y.doc_id
+                GROUP BY 1, 2
+            ), pairs AS (
+                SELECT id_a AS a, id_b AS b
+                FROM inter
+                JOIN sizes sa ON sa.doc_id = id_a
+                JOIN sizes sb ON sb.doc_id = id_b
+                WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.5
+            ), edges AS (
+                SELECT a, b FROM pairs UNION SELECT b, a FROM pairs
+            ), reach(id, r) AS (
+                SELECT a, a FROM edges
+                UNION
+                SELECT reach.id, e.b
+                FROM reach JOIN edges e ON e.a = reach.r
+            )
+            SELECT id, MIN(r) AS canonical_id, (id = MIN(r)) AS keep
+            FROM reach GROUP BY id ORDER BY id
         """,
         "events_hourly": """
             SELECT event_type,

@@ -58,7 +58,7 @@ QUERY_NAMES = [
     "docs_hash_split",
     "doc_alnum_ratio", "doc_lang_filter", "doc_len_histogram",
     "doc_minlen_filter", "doc_quality", "events_lag",
-    "orders_by_nation", "orders_customer_join",
+    "orders_by_nation", "orders_customer_join", "ngram_dup_groups",
 ]
 
 
