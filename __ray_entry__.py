@@ -1227,9 +1227,11 @@ def _decontaminate_snippets(sf_dir: str) -> pd.DataFrame:
 
 def _decontaminate_ngrams(sf_dir: str) -> pd.DataFrame:
     """Benchmark decontamination, word-8-gram hash overlap (the LLM
-    training-set hygiene pass; shares the dedup shingle hasher).  No SQL
-    oracle — n-gram hashing is not SQL-expressible; planted-contamination
-    coverage lives in tests/test_extras.py."""
+    training-set hygiene pass; shares the dedup shingle hasher).  The SQL
+    oracle mirrors the hashed shingles with literal 8-gram strings (same
+    convention as ngram_jaccard_pairs) — equal modulo vanishing-probability
+    61-bit hash collisions; planted-contamination coverage lives in
+    tests/test_extras.py."""
     from ray.data.aggregate import Count, Sum
 
     from pipeline.extras.decontaminate import flag_ngram_contamination
@@ -2050,11 +2052,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     rotated to the front of the 50-slot window this round.
     Slot 19: ngram_dup_groups, new in r5 (distributed CC with a
     WITH RECURSIVE SQL oracle) — graded first time this round.
-    Slots 20-50: SQL-oracled entries already driver-graded oracle-exact
+    Slot 20: decontaminate_ngrams, SQL oracle added in r5 (literal
+    8-gram mirror of the hashed shingles).
+    Slots 21-50: SQL-oracled entries already driver-graded oracle-exact
     in CORRECTNESS_r04.
-    Slots 51-58: SQL-oracled entries with durable r04 exact records,
+    Slots 51-59: SQL-oracled entries with durable r04 exact records,
     rotated out to make room (still swept by test_oracle_parity.py).
-    Slots 59-74: rows-only (no SQL oracle) entries.
+    Slots 60-74: rows-only (no SQL oracle) entries.
     """
     return {
         # --- slots 1-18: rotate into the graded window (r5) ---
@@ -2078,7 +2082,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_robust_z_by_source": _doc_robust_z_by_source,
         # --- slot 19: new in r5 (distributed CC + recursive-CTE oracle) ---
         "ngram_dup_groups": _ngram_dup_groups,
-        # --- slots 20-50: driver-graded oracle-exact in r04 ---
+        # --- slot 20: oracle added in r5 (literal-8-gram SQL mirror) ---
+        "decontaminate_ngrams": _decontaminate_ngrams,
+        # --- slots 21-50: driver-graded oracle-exact in r04 ---
         "doc_source_counts": _doc_source_counts,
         "doc_quality": _doc_quality,
         "orders_by_nation": _orders_by_nation,
@@ -2109,8 +2115,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_pack_bins": _doc_pack_bins,
         "doc_blocklist": _doc_blocklist,
         "doc_line_dedup": _doc_line_dedup,
+        # --- slots 51-59: rotated out (durable r04 exact records) ---
         "doc_normalize": _doc_normalize,
-        # --- slots 51-58: rotated out (durable r04 exact records) ---
         "docs_sample_k": _docs_sample_k,
         "doc_length_stats": _doc_length_stats,
         "doc_minlen_filter": _doc_minlen_filter,
@@ -2119,7 +2125,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_top10_longest": _doc_top10_longest,
         "doc_alnum_ratio": _doc_alnum_ratio,
         "doc_len_histogram": _doc_len_histogram,
-        # --- slots 58-73: rows-only entries (no SQL oracle) ---
+        # --- slots 60-74: rows-only entries (no SQL oracle) ---
         "ann_topk_ivf": _ann_topk_ivf,
         "minhash_dup_pairs": _minhash_pairs,
         "near_dup_groups": _near_dup_groups,
@@ -2129,7 +2135,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scrub_pii_corpus": _scrub_pii_corpus,
         "langid_documents": _langid_documents,
         "events_distinct_users_hll": _events_distinct_users_hll,
-        "decontaminate_ngrams": _decontaminate_ngrams,
         "embedding_kmeans": _embedding_kmeans,
         "semantic_dedup": _semantic_dedup,
         "ann_topk_lsh": _ann_topk_lsh,
@@ -2685,6 +2690,47 @@ def oracle_sql() -> dict[str, str]:
                 SELECT 1 FROM bench b WHERE contains(d.text, b.snip)
             )
             GROUP BY d.source ORDER BY d.source
+        """,
+        # Word 8-gram benchmark-overlap over literal gram strings; the
+        # engine uses 61-bit hashed shingles (pipeline/extras/dedup.py
+        # _shingles) — same sets modulo vanishing-probability hash
+        # collisions, so counts match exactly.  The <8-word degenerate
+        # gram mirrors ngram_jaccard_pairs' convention.
+        "decontaminate_ngrams": r"""
+            WITH bench AS (
+                SELECT doc_id, text FROM documents
+                ORDER BY n_chars DESC, doc_id ASC LIMIT 10
+            ), bwords AS (
+                SELECT list_filter(regexp_split_to_array(text, '\s+'),
+                                   w -> w <> '') AS ws
+                FROM bench
+            ), bgrams AS (
+                SELECT DISTINCT unnest(
+                    CASE WHEN len(ws) < 8 THEN [array_to_string(ws, ' ')]
+                         ELSE [array_to_string(ws[i:i+7], ' ')
+                               FOR i IN generate_series(1, len(ws) - 7)]
+                    END) AS g
+                FROM bwords
+            ), dwords AS (
+                SELECT doc_id, source,
+                       list_filter(regexp_split_to_array(text, '\s+'),
+                                   w -> w <> '') AS ws
+                FROM documents
+            ), dgrams AS (
+                SELECT doc_id, source, unnest(list_distinct(
+                    CASE WHEN len(ws) < 8 THEN [array_to_string(ws, ' ')]
+                         ELSE [array_to_string(ws[i:i+7], ' ')
+                               FOR i IN generate_series(1, len(ws) - 7)]
+                    END)) AS g
+                FROM dwords
+            ), hits AS (
+                SELECT d.doc_id, d.source, count(*) AS n_bench_hits
+                FROM dgrams d JOIN bgrams b USING (g)
+                GROUP BY d.doc_id, d.source
+            )
+            SELECT source, count(*) AS n_contaminated,
+                   CAST(sum(n_bench_hits) AS BIGINT) AS n_hits
+            FROM hits GROUP BY source ORDER BY source
         """,
         "events_clicks_asof": """
             SELECT c.event_id, round(p.value, 3) AS purchase_value
