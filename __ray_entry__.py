@@ -982,6 +982,89 @@ def _customers_no_orders(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("c_custkey").reset_index(drop=True)
 
 
+def _customers_urgent_semi(sf_dir: str) -> pd.DataFrame:
+    """Semi-join (§2.4 family): customers with at least one 1-URGENT
+    order [pipeline.partition.semi_join — per-batch distinct-key
+    combiner, broadcast pc.is_in below 2M distinct keys / hash join
+    against the deduplicated key set above; the customer side never
+    shuffles in the broadcast regime]."""
+    from pipeline.partition import semi_join
+
+    cust = _read(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    )
+    urgent = _read(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderpriority"]
+    ).filter(expr="o_orderpriority == '1-URGENT'").select_columns(
+        ["o_custkey"]
+    )
+    out = semi_join(
+        cust, urgent, on="c_custkey", right_on="o_custkey",
+        n_rows_hint=_rows_hint(f"{sf_dir}/orders.parquet"),
+    )
+    return out.to_pandas().sort_values("c_custkey").reset_index(drop=True)
+
+
+def _orders_rollup(sf_dir: str) -> pd.DataFrame:
+    """Hierarchical ROLLUP aggregate: order count + revenue at three
+    levels — (status, priority) leaves, per-status subtotals, grand
+    total.  ONE distributed pass: per-batch Arrow combiner (scaled-cent
+    int sums, <= |status|x|priority| rows leave each batch) -> small
+    two-key groupby; the subtotal levels re-aggregate DRIVER-SIDE from
+    the dimension-sized leaf table (~15 rows at any corpus scale — the
+    rollup never re-reads the fact table, unlike a naive
+    one-groupby-per-level plan).  'ALL' marks rolled-up levels in both
+    engines; money sums via scaled ints + one IEEE division
+    (bit-portable, see supplier_revenue)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    ds = _read(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderstatus", "o_orderpriority", "o_totalprice"],
+    )
+
+    def combine(t: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.floor(pc.add(pc.multiply(t["o_totalprice"], pa.scalar(100.0)),
+                            pa.scalar(0.5))),
+            pa.int64(),
+        )
+        t2 = pa.table({
+            "o_orderstatus": t["o_orderstatus"],
+            "o_orderpriority": t["o_orderpriority"],
+            "cents": cents,
+        })
+        return t2.group_by(["o_orderstatus", "o_orderpriority"]).aggregate(
+            [("cents", "sum"), ("cents", "count")]
+        )
+
+    leaf = (
+        ds.map_batches(combine, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["o_orderstatus", "o_orderpriority"])
+        .aggregate(Sum("cents_sum", alias_name="cents"),
+                   Sum("cents_count", alias_name="n_orders"))
+        .to_pandas()
+    )
+    lv1 = leaf.groupby("o_orderstatus", as_index=False).agg(
+        cents=("cents", "sum"), n_orders=("n_orders", "sum")
+    )
+    lv1["o_orderpriority"] = "ALL"
+    lv0 = pd.DataFrame({
+        "o_orderstatus": ["ALL"], "o_orderpriority": ["ALL"],
+        "cents": [int(leaf["cents"].sum())],
+        "n_orders": [int(leaf["n_orders"].sum())],
+    })
+    out = pd.concat([leaf, lv1, lv0], ignore_index=True)
+    out["revenue"] = out.pop("cents").astype("int64") / 100.0
+    out["n_orders"] = out["n_orders"].astype("int64")
+    return out[
+        ["o_orderstatus", "o_orderpriority", "n_orders", "revenue"]
+    ].sort_values(
+        ["o_orderstatus", "o_orderpriority"]
+    ).reset_index(drop=True)
+
+
 def _events_distinct_users(sf_dir: str) -> pd.DataFrame:
     """Grouped distinct count: exact n-distinct users per event_type via
     two-level groupby (distinct pairs first, then count — the partial-
@@ -2058,7 +2141,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     in CORRECTNESS_r04.
     Slots 51-59: SQL-oracled entries with durable r04 exact records,
     rotated out to make room (still swept by test_oracle_parity.py).
-    Slots 60-74: rows-only (no SQL oracle) entries.
+    Slots 60-61: customers_urgent_semi + orders_rollup, new in r5
+    (SQL-oracled; outside the window — certified by the parity sweep).
+    Slots 62-76: rows-only (no SQL oracle) entries.
     """
     return {
         # --- slots 1-18: rotate into the graded window (r5) ---
@@ -2125,7 +2210,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_top10_longest": _doc_top10_longest,
         "doc_alnum_ratio": _doc_alnum_ratio,
         "doc_len_histogram": _doc_len_histogram,
-        # --- slots 60-74: rows-only entries (no SQL oracle) ---
+        # --- slots 60-61: new in r5 (semi-join + ROLLUP; oracled) ---
+        "customers_urgent_semi": _customers_urgent_semi,
+        "orders_rollup": _orders_rollup,
+        # --- slots 62-76: rows-only entries (no SQL oracle) ---
         "ann_topk_ivf": _ann_topk_ivf,
         "minhash_dup_pairs": _minhash_pairs,
         "near_dup_groups": _near_dup_groups,
@@ -2224,6 +2312,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(floor(n_chars / 100) AS BIGINT) AS bucket,
                    count(*) AS n_docs
             FROM documents GROUP BY bucket ORDER BY bucket
+        """,
+        "customers_urgent_semi": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey IN (
+                SELECT o_custkey FROM orders
+                WHERE o_orderpriority = '1-URGENT'
+            )
+            ORDER BY c_custkey
+        """,
+        "orders_rollup": """
+            SELECT COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+                   COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) / 100.0
+                       AS revenue
+            FROM orders
+            GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+            ORDER BY o_orderstatus, o_orderpriority
         """,
         "orders_by_nation": """
             SELECT n.n_name AS n_name, count(*) AS n_orders,

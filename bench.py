@@ -59,6 +59,7 @@ QUERY_NAMES = [
     "doc_alnum_ratio", "doc_lang_filter", "doc_len_histogram",
     "doc_minlen_filter", "doc_quality", "events_lag",
     "orders_by_nation", "orders_customer_join", "ngram_dup_groups",
+    "customers_urgent_semi", "orders_rollup",
 ]
 
 

@@ -327,6 +327,72 @@ def hash_join(
 EXACT_DEDUP_BROADCAST_MAX = 2_000_000
 
 
+def semi_join(
+    left: "ray.data.Dataset", right: "ray.data.Dataset", on: str,
+    right_on: str | None = None, *,
+    broadcast_max: int = EXACT_DEDUP_BROADCAST_MAX,
+    n_rows_hint: int | None = None,
+) -> "ray.data.Dataset":
+    """Semi-join: rows of ``left`` whose ``on`` key appears at least once
+    in ``right`` (SQL ``WHERE on IN (SELECT right_on FROM right)``) —
+    completes the §2.4 join family beside broadcast/hash/asof/range/anti.
+
+    The right side reduces to its DISTINCT key set first (per-batch
+    ``pc.unique`` combiner — only batch-distinct keys leave each task,
+    nulls dropped to match SQL IN semantics).  Below ``broadcast_max``
+    distinct keys the set broadcasts once (``ray.put``) and the left side
+    filters map-only with a vectorized ``pc.is_in`` — the big side never
+    shuffles.  Above it, the membership test becomes a hash (inner) join
+    of ``left`` against the deduplicated key set, which preserves left
+    multiplicity exactly because the right keys are unique; that branch
+    inherits hash_join's sparse-partition contract (safe: the key set
+    exceeds broadcast_max >> partition count by construction).
+
+    ``n_rows_hint``: upper bound on the right side's distinct key count
+    (e.g. its parquet-metadata row count); when it fits broadcast_max
+    the materialize+count sizing round is skipped entirely."""
+    import ray as _ray
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count
+
+    right_on = right_on or on
+    keys = right.select_columns([right_on]).map_batches(
+        lambda t, _c=right_on: pa.table(
+            {_c: pc.unique(t[_c]).drop_null()}
+        ),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    if n_rows_hint is None or n_rows_hint > broadcast_max:
+        distinct = keys.groupby(right_on).aggregate(
+            Count(alias_name="_n")
+        ).materialize()
+        if distinct.count() > broadcast_max:
+            cols = left.schema().names
+            joined = hash_join(
+                left, distinct.select_columns([right_on]),
+                on=on, right_on=right_on,
+            )
+            return joined.select_columns(cols)
+        kdf = distinct.select_columns([right_on]).to_pandas()
+        vals = pa.array(kdf[right_on]) if len(kdf) else pa.array([])
+    else:
+        # hint says the key set is small: skip the keys-only groupby and
+        # union the batch-distinct keys on the driver (it IS the
+        # broadcast side, so it must fit there anyway)
+        import pandas as _pd
+
+        kdf = keys.to_pandas()
+        vals = (pa.array(_pd.unique(kdf[right_on]))
+                if len(kdf) else pa.array([]))
+    ref = _ray.put(vals)
+
+    def keep(batch: pa.Table, _c=on) -> pa.Table:
+        want = _ray.get(ref)
+        return batch.filter(pc.is_in(batch[_c], value_set=want))
+
+    return left.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _row_key_col(t: pa.Table) -> pa.Array:
     """Unique sortable row key: repo \\x00 path \\x00 commit. The \\x00
     separator (smaller than any content byte) makes string order equal

@@ -358,3 +358,58 @@ def test_asof_join_bucketed_matches_pandas_oracle():
         out["qty_r"].astype("float64"), ora["qty_r"].astype("float64"),
         check_names=False,
     )
+
+
+def test_semi_join_broadcast_and_hash_paths_match_pandas_oracle():
+    """semi_join returns left rows whose key appears in right, preserving
+    left multiplicity and never adding right columns — on BOTH regimes
+    (broadcast is_in below broadcast_max, hash join against the distinct
+    key set above it), including null keys (SQL IN semantics: never match)
+    and a key-name mismatch between the sides."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from pipeline.partition import semi_join
+
+    rng = np.random.default_rng(7)
+    left_df = pd.DataFrame({
+        "k": rng.integers(0, 1000, size=5000),
+        "v": np.arange(5000),
+    })
+    left_df.loc[::97, "k"] = pd.NA  # null left keys: never match
+    left_df["k"] = left_df["k"].astype("Int64")
+    right_df = pd.DataFrame({
+        "rk": np.repeat(np.arange(0, 1000, 2), 3),  # dups: multiplicity-safe
+    })
+    want = left_df[
+        left_df["k"].isin(right_df["rk"].unique())
+        & left_df["k"].notna()
+    ].sort_values("v").reset_index(drop=True)
+
+    for kwargs in (
+        {},                                       # sized via groupby count
+        {"n_rows_hint": len(right_df)},           # hint: driver union path
+        {"broadcast_max": 10},                    # force the hash-join path
+    ):
+        got = (
+            semi_join(
+                rd.from_pandas(left_df), rd.from_pandas(right_df),
+                on="k", right_on="rk", **kwargs,
+            )
+            .to_pandas().sort_values("v").reset_index(drop=True)
+        )
+        assert got["v"].tolist() == want["v"].tolist(), kwargs
+        assert list(got.columns) == ["k", "v"], kwargs
+
+
+def test_semi_join_empty_right_side():
+    import pandas as pd
+    import ray.data as rd
+
+    from pipeline.partition import semi_join
+
+    left = rd.from_pandas(pd.DataFrame({"k": [1, 2], "v": ["a", "b"]}))
+    right = rd.from_pandas(pd.DataFrame({"k": pd.Series([], dtype="int64")}))
+    got = semi_join(left, right, on="k", n_rows_hint=0).to_pandas()
+    assert len(got) == 0
