@@ -1065,6 +1065,125 @@ def _orders_rollup(sf_dir: str) -> pd.DataFrame:
     ).reset_index(drop=True)
 
 
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def _events_type_pivot(sf_dir: str) -> pd.DataFrame:
+    """Pivot (conditional aggregation to wide columns): per-day event
+    counts and value sums, one column pair per event type.  ONE
+    distributed pass — per-batch Arrow combiner on (day, type) with
+    scaled-milli int sums, small two-key groupby, then the ~|days| x
+    |types| leaf table pivots DRIVER-SIDE (dimension-sized at any
+    corpus scale; absent combinations fill 0 to match the SQL CASE
+    WHEN ... ELSE 0 sums).  Money-style value sums via scaled ints +
+    one IEEE division (bit-portable)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    ds = _read(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
+    )
+
+    def combine(t: pa.Table) -> pa.Table:
+        epoch = pc.cast(t["ts"], pa.int64())  # microseconds
+        day = pc.cast(pc.divide(epoch, 86_400_000_000), pa.int64())
+        vm = pc.cast(
+            pc.floor(pc.add(pc.multiply(t["value"], pa.scalar(1000.0)),
+                            pa.scalar(0.5))),
+            pa.int64(),
+        )
+        t2 = pa.table({"day": day, "event_type": t["event_type"], "vm": vm})
+        return t2.group_by(["day", "event_type"]).aggregate(
+            [("vm", "sum"), ("vm", "count")]
+        )
+
+    leaf = (
+        ds.map_batches(combine, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["day", "event_type"])
+        .aggregate(Sum("vm_sum", alias_name="vm"),
+                   Sum("vm_count", alias_name="n"))
+        .to_pandas()
+    )
+    wide = leaf.pivot(index="day", columns="event_type", values=["n", "vm"])
+    out = pd.DataFrame({"day": wide.index.astype("int64")})
+    for et in _EVENT_TYPES:
+        n = (wide[("n", et)] if ("n", et) in wide.columns
+             else pd.Series(0, index=wide.index))
+        vm = (wide[("vm", et)] if ("vm", et) in wide.columns
+              else pd.Series(0, index=wide.index))
+        out[f"n_{et}"] = n.fillna(0).astype("int64").to_numpy()
+        out[f"val_{et}"] = (
+            vm.fillna(0).astype("int64").to_numpy() / 1000.0
+        )
+    return out.sort_values("day").reset_index(drop=True)
+
+
+def _doc_corr_by_source(sf_dir: str) -> pd.DataFrame:
+    """Grouped Pearson correlation (n_chars vs whitespace token count)
+    from EXACT integer moment sums: the distributed pass moves six
+    int64 partials per (batch, source) — n, Sx, Sy, Sxx, Syy, Sxy —
+    through a per-batch Arrow combiner and a small groupby; the driver
+    forms the correlation from arbitrary-precision Python ints (no
+    int64 wrap, no float accumulation order) with the SAME IEEE
+    operation sequence the SQL mirror uses (HUGEINT products -> one
+    DOUBLE cast each -> sqrt -> multiply -> divide), so both engines
+    emit bit-identical doubles.  Assumes per-source variance > 0 in
+    both columns (true for this corpus; zero variance would divide by
+    zero identically in both engines)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    ds = _read(f"{sf_dir}/documents.parquet",
+               columns=["source", "text", "n_chars"])
+
+    def combine(t: pa.Table) -> pa.Table:
+        x = pc.cast(t["n_chars"], pa.int64())
+        y = pc.cast(
+            pc.count_substring_regex(
+                pc.utf8_trim_whitespace(t["text"]), r"\S+"
+            ),
+            pa.int64(),
+        )
+        t2 = pa.table({
+            "source": t["source"], "x": x, "y": y,
+            "xx": pc.multiply(x, x), "yy": pc.multiply(y, y),
+            "xy": pc.multiply(x, y),
+        })
+        return t2.group_by("source").aggregate(
+            [("x", "sum"), ("y", "sum"), ("xx", "sum"), ("yy", "sum"),
+             ("xy", "sum"), ("x", "count")]
+        )
+
+    leaf = (
+        ds.map_batches(combine, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("source")
+        .aggregate(Sum("x_sum", alias_name="sx"),
+                   Sum("y_sum", alias_name="sy"),
+                   Sum("xx_sum", alias_name="sxx"),
+                   Sum("yy_sum", alias_name="syy"),
+                   Sum("xy_sum", alias_name="sxy"),
+                   Sum("x_count", alias_name="n"))
+        .to_pandas()
+    )
+    import math
+
+    corrs = []
+    for row in leaf.itertuples(index=False):  # dimension-sized frame
+        n, sx, sy = int(row.n), int(row.sx), int(row.sy)
+        sxx, syy, sxy = int(row.sxx), int(row.syy), int(row.sxy)
+        num = float(n * sxy - sx * sy)
+        den = math.sqrt(float(n * sxx - sx * sx)) * math.sqrt(
+            float(n * syy - sy * sy)
+        )
+        corrs.append(num / den)
+    out = pd.DataFrame({
+        "source": leaf["source"],
+        "n_docs": leaf["n"].astype("int64"),
+        "corr_chars_tokens": np.array(corrs, dtype=np.float64),
+    })
+    return out.sort_values("source").reset_index(drop=True)
+
+
 def _events_distinct_users(sf_dir: str) -> pd.DataFrame:
     """Grouped distinct count: exact n-distinct users per event_type via
     two-level groupby (distinct pairs first, then count — the partial-
@@ -2141,9 +2260,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     in CORRECTNESS_r04.
     Slots 51-59: SQL-oracled entries with durable r04 exact records,
     rotated out to make room (still swept by test_oracle_parity.py).
-    Slots 60-61: customers_urgent_semi + orders_rollup, new in r5
-    (SQL-oracled; outside the window — certified by the parity sweep).
-    Slots 62-76: rows-only (no SQL oracle) entries.
+    Slots 60-63: customers_urgent_semi, orders_rollup,
+    events_type_pivot, doc_corr_by_source — new in r5 (SQL-oracled;
+    outside the window — certified by the parity sweep).
+    Slots 64-78: rows-only (no SQL oracle) entries.
     """
     return {
         # --- slots 1-18: rotate into the graded window (r5) ---
@@ -2210,10 +2330,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_top10_longest": _doc_top10_longest,
         "doc_alnum_ratio": _doc_alnum_ratio,
         "doc_len_histogram": _doc_len_histogram,
-        # --- slots 60-61: new in r5 (semi-join + ROLLUP; oracled) ---
+        # --- slots 60-63: new in r5 (semi-join, ROLLUP, pivot, corr;
+        # all SQL-oracled) ---
         "customers_urgent_semi": _customers_urgent_semi,
         "orders_rollup": _orders_rollup,
-        # --- slots 62-76: rows-only entries (no SQL oracle) ---
+        "events_type_pivot": _events_type_pivot,
+        "doc_corr_by_source": _doc_corr_by_source,
+        # --- slots 64-78: rows-only entries (no SQL oracle) ---
         "ann_topk_ivf": _ann_topk_ivf,
         "minhash_dup_pairs": _minhash_pairs,
         "near_dup_groups": _near_dup_groups,
@@ -2330,6 +2453,45 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
             ORDER BY o_orderstatus, o_orderpriority
+        """,
+        "events_type_pivot": """
+            SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+                   CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+                   sum(CASE WHEN event_type = 'click' THEN CAST(floor(value * 1000.0 + 0.5) AS BIGINT) ELSE 0 END) / 1000.0 AS val_click,
+                   CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+                   sum(CASE WHEN event_type = 'error' THEN CAST(floor(value * 1000.0 + 0.5) AS BIGINT) ELSE 0 END) / 1000.0 AS val_error,
+                   CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+                   sum(CASE WHEN event_type = 'purchase' THEN CAST(floor(value * 1000.0 + 0.5) AS BIGINT) ELSE 0 END) / 1000.0 AS val_purchase,
+                   CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+                   sum(CASE WHEN event_type = 'signup' THEN CAST(floor(value * 1000.0 + 0.5) AS BIGINT) ELSE 0 END) / 1000.0 AS val_signup,
+                   CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+                   sum(CASE WHEN event_type = 'view' THEN CAST(floor(value * 1000.0 + 0.5) AS BIGINT) ELSE 0 END) / 1000.0 AS val_view
+            FROM events GROUP BY day ORDER BY day
+        """,
+        "doc_corr_by_source": """
+            WITH m AS (
+                SELECT source,
+                       CAST(count(*) AS HUGEINT) AS n,
+                       CAST(sum(CAST(n_chars AS BIGINT)) AS HUGEINT) AS sx,
+                       CAST(sum(tok) AS HUGEINT) AS sy,
+                       CAST(sum(CAST(n_chars AS BIGINT) * CAST(n_chars AS BIGINT)) AS HUGEINT) AS sxx,
+                       CAST(sum(tok * tok) AS HUGEINT) AS syy,
+                       CAST(sum(CAST(n_chars AS BIGINT) * tok) AS HUGEINT) AS sxy
+                FROM (
+                    SELECT source, n_chars,
+                           CASE WHEN length(trim(text)) = 0 THEN 0
+                                ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                           END AS tok
+                    FROM documents
+                )
+                GROUP BY source
+            )
+            SELECT source, CAST(n AS BIGINT) AS n_docs,
+                   CAST(n * sxy - sx * sy AS DOUBLE)
+                   / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                      * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+                       AS corr_chars_tokens
+            FROM m ORDER BY source
         """,
         "orders_by_nation": """
             SELECT n.n_name AS n_name, count(*) AS n_orders,
