@@ -2256,13 +2256,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
     WITH RECURSIVE SQL oracle) — graded first time this round.
     Slot 20: decontaminate_ngrams, SQL oracle added in r5 (literal
     8-gram mirror of the hashed shingles).
-    Slots 21-50: SQL-oracled entries already driver-graded oracle-exact
+    Slots 21-46: SQL-oracled entries already driver-graded oracle-exact
     in CORRECTNESS_r04.
-    Slots 51-59: SQL-oracled entries with durable r04 exact records,
+    Slots 47-50: customers_urgent_semi, orders_rollup,
+    events_type_pivot, doc_corr_by_source — new in r5, rotated INTO
+    the window (the four displaced entries keep durable r04 records),
+    so every SQL-oracled query ends with a driver-green record from
+    some round.
+    Slots 51-63: SQL-oracled entries with durable r04 exact records,
     rotated out to make room (still swept by test_oracle_parity.py).
-    Slots 60-63: customers_urgent_semi, orders_rollup,
-    events_type_pivot, doc_corr_by_source — new in r5 (SQL-oracled;
-    outside the window — certified by the parity sweep).
     Slots 64-78: rows-only (no SQL oracle) entries.
     """
     return {
@@ -2316,11 +2318,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_heavy_hitters": _corpus_heavy_hitters,
         "doc_length_quantiles": _doc_length_quantiles,
         "decontaminate_snippets": _decontaminate_snippets,
+        # --- slots 47-50: new in r5 (semi-join, ROLLUP, pivot, corr;
+        # all SQL-oracled) — rotated INTO the window so every oracled
+        # query ends the project with a driver-green record from some
+        # round; the four displaced entries keep durable r04 records ---
+        "customers_urgent_semi": _customers_urgent_semi,
+        "orders_rollup": _orders_rollup,
+        "events_type_pivot": _events_type_pivot,
+        "doc_corr_by_source": _doc_corr_by_source,
+        # --- slots 51-63: rotated out (durable r04 exact records) ---
         "docs_weighted_sample": _docs_weighted_sample,
         "doc_pack_bins": _doc_pack_bins,
         "doc_blocklist": _doc_blocklist,
         "doc_line_dedup": _doc_line_dedup,
-        # --- slots 51-59: rotated out (durable r04 exact records) ---
         "doc_normalize": _doc_normalize,
         "docs_sample_k": _docs_sample_k,
         "doc_length_stats": _doc_length_stats,
@@ -2330,12 +2340,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_top10_longest": _doc_top10_longest,
         "doc_alnum_ratio": _doc_alnum_ratio,
         "doc_len_histogram": _doc_len_histogram,
-        # --- slots 60-63: new in r5 (semi-join, ROLLUP, pivot, corr;
-        # all SQL-oracled) ---
-        "customers_urgent_semi": _customers_urgent_semi,
-        "orders_rollup": _orders_rollup,
-        "events_type_pivot": _events_type_pivot,
-        "doc_corr_by_source": _doc_corr_by_source,
         # --- slots 64-78: rows-only entries (no SQL oracle) ---
         "ann_topk_ivf": _ann_topk_ivf,
         "minhash_dup_pairs": _minhash_pairs,
