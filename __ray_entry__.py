@@ -1035,18 +1035,25 @@ def _orders_rollup(sf_dir: str) -> pd.DataFrame:
             "o_orderpriority": t["o_orderpriority"],
             "cents": cents,
         })
+        # ([], "count_all") == SQL count(*): rows count even if the
+        # measure is null (plain "count" would skip null cents)
         return t2.group_by(["o_orderstatus", "o_orderpriority"]).aggregate(
-            [("cents", "sum"), ("cents", "count")]
+            [("cents", "sum"), ([], "count_all")]
         )
 
     leaf = (
         ds.map_batches(combine, batch_format="pyarrow", zero_copy_batch=True)
         .groupby(["o_orderstatus", "o_orderpriority"])
         .aggregate(Sum("cents_sum", alias_name="cents"),
-                   Sum("cents_count", alias_name="n_orders"))
+                   Sum("count_all", alias_name="n_orders"))
         .to_pandas()
     )
-    lv1 = leaf.groupby("o_orderstatus", as_index=False).agg(
+    # dropna=False: a (hypothetical) NULL dimension value still rolls
+    # into its status subtotal.  NOTE: the 'ALL' sentinel contract
+    # assumes non-null dimension columns (true here) — a data NULL
+    # would label the leaf None on this side but 'ALL' under the SQL
+    # COALESCE, which cannot distinguish data NULL from rollup NULL.
+    lv1 = leaf.groupby("o_orderstatus", as_index=False, dropna=False).agg(
         cents=("cents", "sum"), n_orders=("n_orders", "sum")
     )
     lv1["o_orderpriority"] = "ALL"
@@ -1086,22 +1093,31 @@ def _events_type_pivot(sf_dir: str) -> pd.DataFrame:
 
     def combine(t: pa.Table) -> pa.Table:
         epoch = pc.cast(t["ts"], pa.int64())  # microseconds
-        day = pc.cast(pc.divide(epoch, 86_400_000_000), pa.int64())
+        # FLOOR division (matches SQL floor(epoch/86400) for pre-epoch
+        # timestamps too; int64 divide truncates toward zero instead) —
+        # float64 is exact for |epoch| < 2^53 us (±285 years)
+        day = pc.cast(
+            pc.floor(pc.divide(pc.cast(epoch, pa.float64()),
+                               pa.scalar(86_400_000_000.0))),
+            pa.int64(),
+        )
         vm = pc.cast(
             pc.floor(pc.add(pc.multiply(t["value"], pa.scalar(1000.0)),
                             pa.scalar(0.5))),
             pa.int64(),
         )
         t2 = pa.table({"day": day, "event_type": t["event_type"], "vm": vm})
+        # ([], "count_all") == SQL row count per (day, type): rows with
+        # a null value still count (plain "count" would skip them)
         return t2.group_by(["day", "event_type"]).aggregate(
-            [("vm", "sum"), ("vm", "count")]
+            [("vm", "sum"), ([], "count_all")]
         )
 
     leaf = (
         ds.map_batches(combine, batch_format="pyarrow", zero_copy_batch=True)
         .groupby(["day", "event_type"])
         .aggregate(Sum("vm_sum", alias_name="vm"),
-                   Sum("vm_count", alias_name="n"))
+                   Sum("count_all", alias_name="n"))
         .to_pandas()
     )
     wide = leaf.pivot(index="day", columns="event_type", values=["n", "vm"])
@@ -1127,9 +1143,9 @@ def _doc_corr_by_source(sf_dir: str) -> pd.DataFrame:
     int64 wrap, no float accumulation order) with the SAME IEEE
     operation sequence the SQL mirror uses (HUGEINT products -> one
     DOUBLE cast each -> sqrt -> multiply -> divide), so both engines
-    emit bit-identical doubles.  Assumes per-source variance > 0 in
-    both columns (true for this corpus; zero variance would divide by
-    zero identically in both engines)."""
+    emit bit-identical doubles.  A zero-variance source yields NaN in
+    both engines (the SQL 0/0 is NULL -> NaN in the compare frame; the
+    covariance is 0 whenever a variance is, by Cauchy-Schwarz)."""
     import pyarrow.compute as pc
     from ray.data.aggregate import Sum
 
@@ -1175,7 +1191,9 @@ def _doc_corr_by_source(sf_dir: str) -> pd.DataFrame:
         den = math.sqrt(float(n * sxx - sx * sx)) * math.sqrt(
             float(n * syy - sy * sy)
         )
-        corrs.append(num / den)
+        # zero-variance source: num is 0 too (Cauchy-Schwarz), and the
+        # SQL 0/0 yields NULL -> NaN in the compare frame; mirror it
+        corrs.append(num / den if den != 0.0 else float("nan"))
     out = pd.DataFrame({
         "source": leaf["source"],
         "n_docs": leaf["n"].astype("int64"),
@@ -2415,8 +2433,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_token_counts": """
             SELECT source,
-                   CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
-                            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) AS BIGINT) AS n_tokens
+                   CAST(sum(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS n_tokens
             FROM documents GROUP BY source ORDER BY source
         """,
         "doc_alnum_ratio": """
@@ -2428,8 +2445,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_quality": """
             SELECT doc_id,
-                   CASE WHEN length(trim(text)) = 0 THEN 0
-                        ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_words,
+                   len(regexp_extract_all(text, '\S+')) AS n_words,
                    round(CASE WHEN length(text) = 0 THEN 0.0
                          ELSE length(regexp_replace(text, '[\\w\\s]', '', 'g')) * 1.0 / length(text) END, 4)
                    AS punct_ratio
@@ -2483,9 +2499,7 @@ def oracle_sql() -> dict[str, str]:
                        CAST(sum(CAST(n_chars AS BIGINT) * tok) AS HUGEINT) AS sxy
                 FROM (
                     SELECT source, n_chars,
-                           CASE WHEN length(trim(text)) = 0 THEN 0
-                                ELSE len(regexp_split_to_array(trim(text), '\\s+'))
-                           END AS tok
+                           len(regexp_extract_all(text, '\S+')) AS tok
                     FROM documents
                 )
                 GROUP BY source
@@ -2750,9 +2764,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_pack_bins": """
             WITH RECURSIVE toks AS (
                 SELECT source, doc_id,
-                       CASE WHEN length(trim(text)) = 0 THEN 0
-                            ELSE len(regexp_split_to_array(trim(text), '\\s+'))
-                       END AS n_tok
+                       len(regexp_extract_all(text, '\S+')) AS n_tok
                 FROM documents
             ), ordered AS (
                 SELECT source, doc_id, n_tok,
@@ -2872,9 +2884,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_quality_filter": """
             WITH s AS (
                 SELECT doc_id,
-                       CASE WHEN length(trim(text)) = 0 THEN 0
-                            ELSE len(regexp_split_to_array(trim(text), '\\s+'))
-                       END AS n_words
+                       len(regexp_extract_all(text, '\S+')) AS n_words
                 FROM documents
             ),
             th AS (SELECT quantile_disc(n_words, 0.25) AS t FROM s)
@@ -3091,9 +3101,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_budget_select": """
             WITH t AS (
                 SELECT doc_id, source, n_chars,
-                       CASE WHEN length(trim(text)) = 0 THEN 0
-                            ELSE len(regexp_split_to_array(trim(text), '\\s+'))
-                       END AS n_tok
+                       len(regexp_extract_all(text, '\S+')) AS n_tok
                 FROM documents
             ), s AS (
                 SELECT *,
@@ -3167,9 +3175,7 @@ def oracle_sql() -> dict[str, str]:
                 ) WHERE rn = 1
             ), tok AS (
                 SELECT doc_id, source, n_chars,
-                       CASE WHEN length(trim(text)) = 0 THEN 0
-                            ELSE len(regexp_split_to_array(trim(text), '\\s+'))
-                       END AS n_tok
+                       len(regexp_extract_all(text, '\S+')) AS n_tok
                 FROM dedup
             ), filt AS (
                 SELECT * FROM tok

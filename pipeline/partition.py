@@ -344,9 +344,18 @@ def semi_join(
     filters map-only with a vectorized ``pc.is_in`` — the big side never
     shuffles.  Above it, the membership test becomes a hash (inner) join
     of ``left`` against the deduplicated key set, which preserves left
-    multiplicity exactly because the right keys are unique; that branch
-    inherits hash_join's sparse-partition contract (safe: the key set
-    exceeds broadcast_max >> partition count by construction).
+    multiplicity exactly because the right keys are unique.  That branch
+    inherits hash_join's sparse-partition contract on BOTH sides: the
+    key set exceeds broadcast_max >> partition count by construction,
+    but the LEFT side's distinct-key count is the caller's obligation —
+    a left side keyed by a small enum cannot take the hash branch (its
+    empty partitions crash the Ray 2.49 native join; see hash_join's
+    CAVEAT).  Such a left side matches at most |left keys| <<
+    broadcast_max right keys anyway, so raise broadcast_max instead.
+
+    keep_first_by's winner-filter phase and exact_dedup's join-back
+    predate this helper and hand-roll the same broadcast/hash switch on
+    their own key contracts.
 
     ``n_rows_hint``: upper bound on the right side's distinct key count
     (e.g. its parquet-metadata row count); when it fits broadcast_max
