@@ -1202,6 +1202,43 @@ def _doc_corr_by_source(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("source").reset_index(drop=True)
 
 
+def _doc_mode_lang_by_source(sf_dir: str) -> pd.DataFrame:
+    """Grouped MODE (argmax-per-key): each source's most common language
+    with a deterministic tie-break (highest count, then smallest lang) —
+    per-batch (source, lang) count_all combiner -> small two-key
+    groupby -> the existing two-phase topn_per_key(n=1) over the
+    aggregate (the exchange only ever moves per-(source,lang) counts,
+    never documents)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from pipeline.partition import topn_per_key
+
+    ds = _read(f"{sf_dir}/documents.parquet", columns=["source", "lang"])
+
+    counts = (
+        ds.map_batches(
+            lambda t: t.group_by(["source", "lang"]).aggregate(
+                [([], "count_all")]
+            ),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+        .groupby(["source", "lang"])
+        .aggregate(Sum("count_all", alias_name="n_docs"))
+    )
+    # honest upper bound on the aggregate's rows (distinct (source,
+    # lang) <= n_docs): picks driver finalize here, the distributed
+    # map_groups path beyond TOPN_DRIVER_MAX_ROWS inputs
+    top = topn_per_key(
+        counts, key="source", order_by=["n_docs", "lang"],
+        ascending=[False, True], n=1,
+        n_rows_hint=_rows_hint(f"{sf_dir}/documents.parquet"),
+    )
+    df = top.to_pandas()[["source", "lang", "n_docs"]]
+    df["n_docs"] = df["n_docs"].astype("int64")
+    return df.sort_values("source").reset_index(drop=True)
+
+
 def _events_distinct_users(sf_dir: str) -> pd.DataFrame:
     """Grouped distinct count: exact n-distinct users per event_type via
     two-level groupby (distinct pairs first, then count — the partial-
@@ -2283,7 +2320,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     some round.
     Slots 51-63: SQL-oracled entries with durable r04 exact records,
     rotated out to make room (still swept by test_oracle_parity.py).
-    Slots 64-78: rows-only (no SQL oracle) entries.
+    Slot 64: doc_mode_lang_by_source — late-r5 SQL-oracled addition
+    (outside the window; certified by the parity sweep).
+    Slots 65-79: rows-only (no SQL oracle) entries.
     """
     return {
         # --- slots 1-18: rotate into the graded window (r5) ---
@@ -2358,7 +2397,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_top10_longest": _doc_top10_longest,
         "doc_alnum_ratio": _doc_alnum_ratio,
         "doc_len_histogram": _doc_len_histogram,
-        # --- slots 64-78: rows-only entries (no SQL oracle) ---
+        # --- slot 64: grouped mode, new late-r5 (SQL-oracled; outside
+        # the window — certified by the parity sweep) ---
+        "doc_mode_lang_by_source": _doc_mode_lang_by_source,
+        # --- slots 65-79: rows-only entries (no SQL oracle) ---
         "ann_topk_ivf": _ann_topk_ivf,
         "minhash_dup_pairs": _minhash_pairs,
         "near_dup_groups": _near_dup_groups,
@@ -2510,6 +2552,16 @@ def oracle_sql() -> dict[str, str]:
                       * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
                        AS corr_chars_tokens
             FROM m ORDER BY source
+        """,
+        "doc_mode_lang_by_source": """
+            SELECT source, lang, n_docs FROM (
+                SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+                       row_number() OVER (
+                           PARTITION BY source
+                           ORDER BY count(*) DESC, lang
+                       ) AS rnk
+                FROM documents GROUP BY source, lang
+            ) WHERE rnk = 1 ORDER BY source
         """,
         "orders_by_nation": """
             SELECT n.n_name AS n_name, count(*) AS n_orders,

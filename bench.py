@@ -60,7 +60,7 @@ QUERY_NAMES = [
     "doc_minlen_filter", "doc_quality", "events_lag",
     "orders_by_nation", "orders_customer_join", "ngram_dup_groups",
     "customers_urgent_semi", "orders_rollup",
-    "events_type_pivot", "doc_corr_by_source",
+    "events_type_pivot", "doc_corr_by_source", "doc_mode_lang_by_source",
 ]
 
 
