@@ -379,7 +379,9 @@ def _events_hourly(sf_dir: str) -> pd.DataFrame:
     def bucket(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        epoch = pc.cast(batch["ts"], pa.int64())  # microseconds
+        # normalize any input precision to microseconds first (a ns
+        # column would shift buckets 1000x)
+        epoch = pc.cast(pc.cast(batch["ts"], pa.timestamp("us")), pa.int64())
         hour = pc.divide(epoch, 3_600_000_000)
         return pa.table(
             {
@@ -1092,7 +1094,10 @@ def _events_type_pivot(sf_dir: str) -> pd.DataFrame:
     )
 
     def combine(t: pa.Table) -> pa.Table:
-        epoch = pc.cast(t["ts"], pa.int64())  # microseconds
+        # normalize any input precision (s/ms/us/ns) to microseconds
+        # before the int cast — a ns-precision column would otherwise
+        # shift the buckets by 1000x
+        epoch = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64())
         # FLOOR division (matches SQL floor(epoch/86400) for pre-epoch
         # timestamps too; int64 divide truncates toward zero instead) —
         # float64 is exact for |epoch| < 2^53 us (±285 years)

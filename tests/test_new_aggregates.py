@@ -1,0 +1,117 @@
+"""Null-input parity for the r5 aggregate queries (orders_rollup,
+events_type_pivot, doc_corr_by_source): the frozen driver fixture has no
+nulls and no zero-variance groups, so these pin the count_all / NaN
+semantics against DuckDB on synthetic tables that do."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from pandas.testing import assert_frame_equal
+
+
+def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    return df.sort_values(sorted(df.columns), kind="mergesort").reset_index(
+        drop=True
+    )
+
+
+def test_orders_rollup_counts_null_measure_rows(ray_session, tmp_path):
+    import __ray_entry__ as em
+
+    rng = np.random.default_rng(3)
+    n = 500
+    price = rng.uniform(10.0, 1000.0, n)
+    df = pd.DataFrame({
+        "o_orderkey": np.arange(n),
+        "o_custkey": rng.integers(0, 50, n),
+        "o_orderstatus": rng.choice(["O", "F", "P"], n),
+        "o_totalprice": np.where(np.arange(n) % 7 == 0, np.nan, price),
+        "o_orderdate": pd.Timestamp("2024-01-01"),
+        "o_orderpriority": rng.choice(["1-URGENT", "5-LOW"], n),
+    })
+    pq.write_table(pa.Table.from_pandas(df), str(tmp_path / "orders.parquet"))
+
+    got = em._orders_rollup(str(tmp_path))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/orders.parquet')"
+    )
+    want = con.execute(em.oracle_sql()["orders_rollup"]).df()
+    # SQL count(*) counts the null-price rows; the grand total must be n
+    assert int(want.loc[
+        (want.o_orderstatus == "ALL") & (want.o_orderpriority == "ALL"),
+        "n_orders",
+    ].iloc[0]) == n
+    assert_frame_equal(_norm(got), _norm(want), check_exact=True)
+
+
+def test_events_type_pivot_counts_null_value_rows(ray_session, tmp_path):
+    import __ray_entry__ as em
+
+    rng = np.random.default_rng(4)
+    n = 400
+    val = rng.uniform(0.0, 50.0, n)
+    df = pd.DataFrame({
+        "event_id": np.arange(n),
+        "ts": pd.Timestamp("2024-02-01")
+        + pd.to_timedelta(rng.integers(0, 5 * 86400, n), unit="s"),
+        "user_id": rng.integers(0, 40, n),
+        "event_type": rng.choice(
+            ["click", "error", "purchase", "signup", "view"], n
+        ),
+        "value": np.where(np.arange(n) % 5 == 0, np.nan, val),
+        "props": "{}",
+    })
+    pq.write_table(pa.Table.from_pandas(df), str(tmp_path / "events.parquet"))
+
+    got = em._events_type_pivot(str(tmp_path))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/events.parquet')"
+    )
+    want = con.execute(em.oracle_sql()["events_type_pivot"]).df()
+    count_cols = [c for c in want.columns if c.startswith("n_")]
+    assert int(want[count_cols].to_numpy().sum()) == n  # null values count
+    assert_frame_equal(_norm(got), _norm(want), check_exact=True)
+
+
+def test_doc_corr_zero_variance_source_yields_nan(ray_session, tmp_path):
+    import __ray_entry__ as em
+
+    # src_const: single doc (n=1 -> zero variance); src_flat: identical
+    # docs (zero variance in both columns); src_var: real spread
+    rows = [
+        ("src_const", "one two three", 13),
+        ("src_flat", "a a", 3), ("src_flat", "a a", 3),
+        ("src_var", "alpha beta", 10), ("src_var", "g", 1),
+        ("src_var", "x y z w", 7),
+    ]
+    df = pd.DataFrame(rows, columns=["source", "text", "n_chars"])
+    df.insert(0, "doc_id", np.arange(len(df)))
+    df["lang"] = "en"
+    pq.write_table(
+        pa.Table.from_pandas(df), str(tmp_path / "documents.parquet")
+    )
+
+    got = em._doc_corr_by_source(str(tmp_path))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')"
+    )
+    want = con.execute(em.oracle_sql()["doc_corr_by_source"]).df()
+    assert np.isnan(
+        got.set_index("source").loc["src_const", "corr_chars_tokens"]
+    )
+    assert np.isnan(
+        got.set_index("source").loc["src_flat", "corr_chars_tokens"]
+    )
+    assert_frame_equal(_norm(got), _norm(want), check_exact=True)
