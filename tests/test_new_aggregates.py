@@ -115,3 +115,62 @@ def test_doc_corr_zero_variance_source_yields_nan(ray_session, tmp_path):
         got.set_index("source").loc["src_flat", "corr_chars_tokens"]
     )
     assert_frame_equal(_norm(got), _norm(want), check_exact=True)
+
+
+def test_full_outer_join_matches_duckdb(ray_session):
+    """full_outer_join vs DuckDB FULL OUTER JOIN: duplicate right keys
+    (fan-out), unmatched rows on both sides, null keys on both sides
+    (SQL: nulls never match; a null-key right row survives as
+    right-only), and the COALESCEd key contract."""
+    import ray
+
+    from pipeline.partition import full_outer_join
+
+    left = pd.DataFrame({
+        "k": pd.array([1, 1, 2, 3, 5, 5, None, 7], dtype="Int64"),
+        "lv": np.arange(8, dtype=np.int64),
+    })
+    small = pd.DataFrame({
+        "rk": pd.array([1, 1, 2, 4, None], dtype="Int64"),
+        "name": ["a1", "a2", "b", "d", "nul"],
+    })
+    ds = ray.data.from_arrow(
+        pa.Table.from_pandas(left, preserve_index=False)
+    ).repartition(3)
+    got = full_outer_join(ds, small, on="k", right_on="rk").to_pandas()
+
+    con = duckdb.connect()
+    con.register("l", left)
+    con.register("s", small)
+    want = con.execute("""
+        SELECT COALESCE(l.k, s.rk) AS k, l.lv, s.name
+        FROM l FULL OUTER JOIN s ON l.k = s.rk
+    """).df()
+    assert_frame_equal(
+        _norm(got), _norm(want), check_dtype=False, check_exact=True
+    )
+
+
+def test_full_outer_join_string_keys_and_empty_sides(ray_session):
+    import ray
+
+    from pipeline.partition import full_outer_join
+
+    left = pd.DataFrame({"k": ["a", "b", "b"], "lv": [1, 2, 3]})
+    small = pd.DataFrame({"k": ["b", "z"], "name": ["B", "Z"]})
+    ds = ray.data.from_pandas(left)
+    got = full_outer_join(ds, small, on="k").to_pandas()
+    got = got.sort_values(["k", "lv"]).reset_index(drop=True)
+    assert list(got["k"]) == ["a", "b", "b", "z"]
+    assert got["name"].tolist()[0] is None or pd.isna(got["name"].iloc[0])
+    assert got.loc[3, "name"] == "Z" and pd.isna(got.loc[3, "lv"])
+
+    # empty right side: degenerate to the left rows, null-padded names
+    got2 = full_outer_join(ds, small.iloc[:0], on="k").to_pandas()
+    assert len(got2) == 3 and got2["name"].isna().all()
+
+    # fully-matched right side: no null-padded remainder appended
+    got3 = full_outer_join(
+        ds, pd.DataFrame({"k": ["a"], "name": ["A"]}), on="k"
+    ).to_pandas()
+    assert len(got3) == 3
