@@ -428,6 +428,75 @@ def _events_hourly(sf_dir: str) -> pd.DataFrame:
     return df
 
 
+def _events_hopping(sf_dir: str) -> pd.DataFrame:
+    """HOPPING event-time windows (size 2h, hop 1h — each event lands in
+    the two windows covering it): the overlapping-window counterpart of
+    the tumbling events_hourly.  The explode to window starts happens
+    INSIDE a per-batch Arrow combiner, so the exchange ships
+    (event_type, win) partial rows — never 2x event rows — into a small
+    groupby merge (same string-key pre-combine rule as
+    orders_by_nation)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        # normalize precision first (ns input would shift buckets 1000x)
+        epoch = pc.cast(pc.cast(batch["ts"], pa.timestamp("us")), pa.int64())
+        hour = pc.cast(pc.divide(epoch, 3_600_000_000), pa.int64())
+        base = pa.table({
+            "event_type": batch["event_type"], "win": hour,
+            "value": batch["value"],
+        })
+        prev = base.set_column(
+            1, "win", pc.subtract(base["win"], pa.scalar(1, pa.int64()))
+        )
+        g = (
+            pa.concat_tables([base, prev])
+            .group_by(["event_type", "win"])
+            .aggregate([("value", "sum"), ([], "count_all")])
+        )
+        return pa.table({
+            "event_type": g["event_type"], "win": g["win"],
+            "s": g["value_sum"], "n": pc.cast(g["count_all"], pa.int64()),
+        })
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["event_type", "win"])
+        .aggregate(Sum("n", alias_name="n_events"),
+                   Sum("s", alias_name="sum_value"))
+    )
+    df = out.to_pandas()
+    df["n_events"] = df["n_events"].astype("int64")
+    df["sum_value"] = _round_ha(df["sum_value"], 3)
+    return df[["event_type", "win", "n_events", "sum_value"]]
+
+
+def _events_user_paths(sf_dir: str) -> pd.DataFrame:
+    """Grouped ORDERED string concatenation (SQL string_agg ... ORDER
+    BY): each user's event-type journey in time order — the bucketed
+    per_key_ordered shuffle (hash(user) % 64 is the one exchange key),
+    one vectorized pandas groupby-join per bucket, never one frame per
+    user."""
+    from pipeline.partition import per_key_ordered
+
+    ds = _read(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"],
+    )
+
+    def paths(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("user_id")["event_type"].agg("->".join)
+        return agg.rename("path").reset_index()
+
+    out = per_key_ordered(
+        ds, key="user_id", order_by=["ts", "event_id"], fn=paths)
+    return out.to_pandas().sort_values("user_id").reset_index(drop=True)
+
+
 def _events_user_sessions(sf_dir: str) -> pd.DataFrame:
     """Sessionization (30-min gap) per user — bucketed per-key ordered
     op: a session starts at each key change or >30-min gap, counted in
@@ -1447,6 +1516,22 @@ def _doc_length_quantiles(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _doc_length_pctl_cont(sf_dir: str) -> pd.DataFrame:
+    """INTERPOLATED (continuous) percentiles over doc length — the
+    quantile_cont counterpart of doc_length_quantiles: the same
+    distinct-values-only histogram exchange, finished with DuckDB's
+    Interpolator expression ((CRN-RN)*v[floor] + (RN-FRN)*v[ceil] over
+    IEEE doubles) instead of the discrete rank walk; bit-portable on
+    integer columns."""
+    from pipeline.extras.corpusstats import value_counts_quantiles_cont
+
+    qs = [0.25, 0.5, 0.75, 0.9, 0.99]
+    vals = value_counts_quantiles_cont(_docs(sf_dir), "n_chars", qs)
+    return pd.DataFrame(
+        [{f"p{int(q * 100)}": float(v) for q, v in zip(qs, vals)}]
+    )
+
+
 def _events_distinct_users_hll(sf_dir: str) -> pd.DataFrame:
     """Approximate grouped distinct count (HyperLogLog, p=12, ~1.6% se):
     the 100-TB path when the key set is too large for the exact
@@ -2343,19 +2428,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
     WITH RECURSIVE SQL oracle) — graded first time this round.
     Slot 20: decontaminate_ngrams, SQL oracle added in r5 (literal
     8-gram mirror of the hashed shingles).
-    Slots 21-22: doc_mode_lang_by_source and orders_customer_full —
-    late-r5 SQL-oracled additions, swapped into the window in place of
-    doc_source_counts / doc_quality (both r04-green).
-    Slots 23-46: SQL-oracled entries already driver-graded oracle-exact
+    Slots 21-25: doc_mode_lang_by_source, orders_customer_full,
+    doc_length_pctl_cont, events_hopping, events_user_paths — late-r5
+    SQL-oracled additions, swapped into the window in place of five
+    r04-green entries (doc_source_counts, doc_quality, orders_by_nation,
+    dedup_exact, events_hourly).
+    Slots 26-46: SQL-oracled entries already driver-graded oracle-exact
     in CORRECTNESS_r04.
     Slots 47-50: customers_urgent_semi, orders_rollup,
     events_type_pivot, doc_corr_by_source — new in r5, rotated INTO
     the window (the displaced entries keep durable r04 records),
     so every SQL-oracled query ends with a driver-green record from
     some round.
-    Slots 51-65: SQL-oracled entries with durable r04 exact records,
+    Slots 51-68: SQL-oracled entries with durable r04 exact records,
     rotated out to make room (still swept by test_oracle_parity.py).
-    Slots 66-80: rows-only (no SQL oracle) entries.
+    Slots 69-83: rows-only (no SQL oracle) entries.
     """
     return {
         # --- slots 1-18: rotate into the graded window (r5) ---
@@ -2391,11 +2478,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # swapped into the window in place of doc_quality (durable
         # r04-green record) ---
         "orders_customer_full": _orders_customer_full,
-        # --- slots 23-50: driver-graded oracle-exact in r04 ---
-        "orders_by_nation": _orders_by_nation,
+        # --- slots 23-25: interpolated percentiles (quantile_cont),
+        # hopping windows, grouped ordered string_agg — late-r5
+        # SQL-oracled additions, swapped in for orders_by_nation /
+        # dedup_exact / events_hourly (all r04-green) ---
+        "doc_length_pctl_cont": _doc_length_pctl_cont,
+        "events_hopping": _events_hopping,
+        "events_user_paths": _events_user_paths,
+        # --- slots 26-50: driver-graded oracle-exact in r04 ---
         "orders_customer_join": _orders_customer_join,
-        "dedup_exact": _dedup_exact,
-        "events_hourly": _events_hourly,
         "events_user_sessions": _events_user_sessions,
         "events_lag": _events_lag,
         "ann_topk": _ann_topk,
@@ -2438,11 +2529,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_top10_longest": _doc_top10_longest,
         "doc_alnum_ratio": _doc_alnum_ratio,
         "doc_len_histogram": _doc_len_histogram,
-        # --- slots 64-65: rotated out in favor of doc_mode_lang_by_source
-        # and orders_customer_full (both hold r04-green records; still
-        # swept by test_oracle_parity.py) ---
+        # --- rotated out in favor of the five late-r5 additions (all
+        # five displaced entries hold r04-green records; still swept by
+        # test_oracle_parity.py) ---
         "doc_source_counts": _doc_source_counts,
         "doc_quality": _doc_quality,
+        "orders_by_nation": _orders_by_nation,
+        "dedup_exact": _dedup_exact,
+        "events_hourly": _events_hourly,
         # --- slots 65-79: rows-only entries (no SQL oracle) ---
         "ann_topk_ivf": _ann_topk_ivf,
         "minhash_dup_pairs": _minhash_pairs,
@@ -2719,6 +2813,26 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 3) AS sum_value
             FROM events GROUP BY event_type, hour_bucket
         """,
+        "events_hopping": """
+            WITH e AS (
+                SELECT event_type,
+                       CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour,
+                       value
+                FROM events
+            ), x AS (
+                SELECT event_type, hour AS win, value FROM e
+                UNION ALL
+                SELECT event_type, hour - 1 AS win, value FROM e
+            )
+            SELECT event_type, win, count(*) AS n_events,
+                   round(sum(value), 3) AS sum_value
+            FROM x GROUP BY event_type, win
+        """,
+        "events_user_paths": """
+            SELECT user_id,
+                   string_agg(event_type, '->' ORDER BY ts, event_id) AS path
+            FROM events GROUP BY user_id ORDER BY user_id
+        """,
         "events_user_sessions": """
             WITH gaps AS (
                 SELECT user_id,
@@ -2865,6 +2979,14 @@ def oracle_sql() -> dict[str, str]:
                    quantile_disc(n_chars, 0.75) AS p75,
                    quantile_disc(n_chars, 0.90) AS p90,
                    quantile_disc(n_chars, 0.99) AS p99
+            FROM documents
+        """,
+        "doc_length_pctl_cont": """
+            SELECT quantile_cont(n_chars, 0.25) AS p25,
+                   quantile_cont(n_chars, 0.50) AS p50,
+                   quantile_cont(n_chars, 0.75) AS p75,
+                   quantile_cont(n_chars, 0.90) AS p90,
+                   quantile_cont(n_chars, 0.99) AS p99
             FROM documents
         """,
         "doc_pack_bins": """

@@ -61,7 +61,8 @@ QUERY_NAMES = [
     "orders_by_nation", "orders_customer_join", "ngram_dup_groups",
     "customers_urgent_semi", "orders_rollup",
     "events_type_pivot", "doc_corr_by_source", "doc_mode_lang_by_source",
-    "orders_customer_full",
+    "orders_customer_full", "doc_length_pctl_cont", "events_hopping",
+    "events_user_paths",
 ]
 
 

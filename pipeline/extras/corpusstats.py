@@ -585,6 +585,48 @@ def value_counts_quantiles(ds: "ray.data.Dataset", col: str,
     return quantiles_from_counts(counts, col, qs)
 
 
+def quantiles_cont_from_counts(counts: pd.DataFrame, col: str,
+                               qs: list[float]) -> list:
+    """INTERPOLATED (continuous) quantiles from a (value, n) table,
+    DuckDB ``quantile_cont`` semantics: fractional 0-based rank
+    RN = q * (n-1) over the sorted multiset; when RN is integral the
+    result is v[RN] exactly, else the weighted sum
+    (CRN-RN) * v[floor(RN)] + (RN-FRN) * v[ceil(RN)] — the same IEEE
+    double expression DuckDB's Interpolator evaluates, so integer and
+    double inputs are bit-portable."""
+    counts = counts.sort_values(col).reset_index(drop=True)
+    vals = counts[col].to_numpy()
+    cum = counts["n"].to_numpy().cumsum()
+    n_total = int(cum[-1]) if len(cum) else 0
+
+    def _at(i: int) -> float:  # 0-based multiset index -> value (double)
+        return float(vals[int(np.searchsorted(cum, i + 1, side="left"))])
+
+    out = []
+    for q in qs:
+        if n_total == 0:
+            out.append(None)
+            continue
+        rn = float(q) * (n_total - 1)
+        frn, crn = math.floor(rn), math.ceil(rn)
+        if crn == frn:
+            out.append(_at(frn))
+        else:
+            lo, hi = _at(frn), _at(crn)
+            out.append((crn - rn) * lo + (rn - frn) * hi)
+    return out
+
+
+def value_counts_quantiles_cont(ds: "ray.data.Dataset", col: str,
+                                qs: list[float]) -> list:
+    """Exact distributed INTERPOLATED quantiles: the same
+    distinct-values-only histogram exchange as value_counts_quantiles,
+    finishing with the quantile_cont interpolation instead of the
+    discrete rank walk."""
+    counts = value_counts(ds, col).to_pandas()
+    return quantiles_cont_from_counts(counts, col, qs)
+
+
 # ------------------------------------------------------------ HLL sketch
 
 _HLL_P = 12  # 4096 registers; se ~ 1.04/sqrt(4096) = 1.6%

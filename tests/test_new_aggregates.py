@@ -174,3 +174,59 @@ def test_full_outer_join_string_keys_and_empty_sides(ray_session):
         ds, pd.DataFrame({"k": ["a"], "name": ["A"]}), on="k"
     ).to_pandas()
     assert len(got3) == 3
+
+
+def test_quantile_cont_interpolator_matches_duckdb_randomized():
+    """quantiles_cont_from_counts vs DuckDB quantile_cont on randomized
+    int and float multisets, bit-exact (same IEEE Interpolator
+    expression), including the q=0 / q=1 / n=1 edges."""
+    from pipeline.extras.corpusstats import quantiles_cont_from_counts
+
+    rng = np.random.default_rng(11)
+    qs = [0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0]
+    con = duckdb.connect()
+    for trial in range(40):
+        n = int(rng.integers(1, 60))
+        if trial % 2:
+            vals = rng.integers(-500, 500, n).astype(np.int64)
+        else:
+            vals = np.round(rng.normal(0, 50, n), 3)
+        df = pd.DataFrame({"x": vals})
+        con.register("t", df)
+        want = [
+            con.execute(f"SELECT quantile_cont(x, {q}) FROM t").fetchone()[0]
+            for q in qs
+        ]
+        counts = df.groupby("x").size().rename("n").reset_index()
+        got = quantiles_cont_from_counts(counts, "x", qs)
+        assert got == want, f"trial {trial}"
+
+
+def test_events_hopping_null_values_and_coverage(ray_session, tmp_path):
+    """Null measure rows still count in n_events (count(*)) while the
+    sum skips them; every event appears in exactly two windows."""
+    import __ray_entry__ as em
+
+    rng = np.random.default_rng(9)
+    n = 300
+    val = rng.uniform(0.0, 20.0, n)
+    df = pd.DataFrame({
+        "event_id": np.arange(n),
+        "ts": pd.Timestamp("2024-03-01")
+        + pd.to_timedelta(rng.integers(0, 2 * 86400, n), unit="s"),
+        "user_id": rng.integers(0, 30, n),
+        "event_type": rng.choice(["click", "view", "error"], n),
+        "value": np.where(np.arange(n) % 7 == 0, np.nan, val),
+        "props": "{}",
+    })
+    pq.write_table(pa.Table.from_pandas(df), str(tmp_path / "events.parquet"))
+
+    got = em._events_hopping(str(tmp_path))
+    assert int(got["n_events"].sum()) == 2 * n  # size 2h / hop 1h
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/events.parquet')"
+    )
+    want = con.execute(em.oracle_sql()["events_hopping"]).df()
+    assert_frame_equal(_norm(got), _norm(want), check_exact=True)
