@@ -443,9 +443,16 @@ def _events_hopping(sf_dir: str) -> pd.DataFrame:
     def partial(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        # normalize precision first (ns input would shift buckets 1000x)
+        # normalize precision first (ns input would shift buckets 1000x);
+        # FLOOR division like events_type_pivot — int64 divide truncates
+        # toward zero and would misplace pre-epoch timestamps; float64 is
+        # exact for |epoch| < 2^53 us
         epoch = pc.cast(pc.cast(batch["ts"], pa.timestamp("us")), pa.int64())
-        hour = pc.cast(pc.divide(epoch, 3_600_000_000), pa.int64())
+        hour = pc.cast(
+            pc.floor(pc.divide(pc.cast(epoch, pa.float64()),
+                               pa.scalar(3_600_000_000.0))),
+            pa.int64(),
+        )
         base = pa.table({
             "event_type": batch["event_type"], "win": hour,
             "value": batch["value"],
@@ -489,7 +496,13 @@ def _events_user_paths(sf_dir: str) -> pd.DataFrame:
     )
 
     def paths(g: pd.DataFrame) -> pd.DataFrame:
-        agg = g.groupby("user_id")["event_type"].agg("->".join)
+        # mirror SQL string_agg: NULL elements are skipped (an all-NULL
+        # group aggregates to NULL), and a NULL grouping key still forms
+        # its own group (dropna=False); the join is per-group Python
+        # either way, so the null-aware lambda costs nothing extra
+        agg = g.groupby("user_id", dropna=False)["event_type"].agg(
+            lambda s: "->".join(s.dropna()) if s.notna().any() else None
+        )
         return agg.rename("path").reset_index()
 
     out = per_key_ordered(
@@ -1526,10 +1539,30 @@ def _doc_length_pctl_cont(sf_dir: str) -> pd.DataFrame:
     from pipeline.extras.corpusstats import value_counts_quantiles_cont
 
     qs = [0.25, 0.5, 0.75, 0.9, 0.99]
-    vals = value_counts_quantiles_cont(_docs(sf_dir), "n_chars", qs)
+    vals = value_counts_quantiles_cont(
+        _read(f"{sf_dir}/documents.parquet", columns=["n_chars"]),
+        "n_chars", qs,
+    )
     return pd.DataFrame(
         [{f"p{int(q * 100)}": float(v) for q, v in zip(qs, vals)}]
     )
+
+
+def _doc_pctl_by_source(sf_dir: str) -> pd.DataFrame:
+    """PER-GROUP exact quantiles (corpusstats.grouped_quantiles): the
+    per-source length p50/p90 — the standard per-source quality-filter
+    thresholds — from ONE (source, n_chars) histogram pass (distinct
+    pairs shuffle, never rows), per-group rank walk mirroring DuckDB
+    quantile_disc."""
+    from pipeline.extras.corpusstats import grouped_quantiles
+
+    df = grouped_quantiles(
+        _read(f"{sf_dir}/documents.parquet", columns=["source", "n_chars"]),
+        key_col="source", val_col="n_chars", qs=[0.5, 0.9],
+    )
+    df["p50"] = df["p50"].astype("int64")
+    df["p90"] = df["p90"].astype("int64")
+    return df.sort_values("source").reset_index(drop=True)
 
 
 def _events_distinct_users_hll(sf_dir: str) -> pd.DataFrame:
@@ -2428,21 +2461,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
     WITH RECURSIVE SQL oracle) — graded first time this round.
     Slot 20: decontaminate_ngrams, SQL oracle added in r5 (literal
     8-gram mirror of the hashed shingles).
-    Slots 21-25: doc_mode_lang_by_source, orders_customer_full,
-    doc_length_pctl_cont, events_hopping, events_user_paths — late-r5
-    SQL-oracled additions, swapped into the window in place of five
-    r04-green entries (doc_source_counts, doc_quality, orders_by_nation,
-    dedup_exact, events_hourly).
-    Slots 26-46: SQL-oracled entries already driver-graded oracle-exact
+    Slots 21-26: doc_mode_lang_by_source, orders_customer_full,
+    doc_length_pctl_cont, events_hopping, events_user_paths,
+    doc_pctl_by_source — late-r5 SQL-oracled additions, swapped into
+    the window in place of six r04-green entries (doc_source_counts,
+    doc_quality, orders_by_nation, dedup_exact, events_hourly,
+    events_user_sessions).
+    Slots 27-46: SQL-oracled entries already driver-graded oracle-exact
     in CORRECTNESS_r04.
     Slots 47-50: customers_urgent_semi, orders_rollup,
     events_type_pivot, doc_corr_by_source — new in r5, rotated INTO
     the window (the displaced entries keep durable r04 records),
     so every SQL-oracled query ends with a driver-green record from
     some round.
-    Slots 51-68: SQL-oracled entries with durable r04 exact records,
+    Slots 51-69: SQL-oracled entries with durable r04 exact records,
     rotated out to make room (still swept by test_oracle_parity.py).
-    Slots 69-83: rows-only (no SQL oracle) entries.
+    Slots 70-84: rows-only (no SQL oracle) entries.
     """
     return {
         # --- slots 1-18: rotate into the graded window (r5) ---
@@ -2485,9 +2519,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_length_pctl_cont": _doc_length_pctl_cont,
         "events_hopping": _events_hopping,
         "events_user_paths": _events_user_paths,
-        # --- slots 26-50: driver-graded oracle-exact in r04 ---
+        # --- slot 26: per-group quantiles, late-r5 addition (swapped in
+        # for events_user_sessions, r04-green) ---
+        "doc_pctl_by_source": _doc_pctl_by_source,
+        # --- slots 27-50: driver-graded oracle-exact in r04 ---
         "orders_customer_join": _orders_customer_join,
-        "events_user_sessions": _events_user_sessions,
         "events_lag": _events_lag,
         "ann_topk": _ann_topk,
         "ngram_jaccard_pairs": _ngram_jaccard,
@@ -2529,15 +2565,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_top10_longest": _doc_top10_longest,
         "doc_alnum_ratio": _doc_alnum_ratio,
         "doc_len_histogram": _doc_len_histogram,
-        # --- rotated out in favor of the five late-r5 additions (all
-        # five displaced entries hold r04-green records; still swept by
+        # --- rotated out in favor of the six late-r5 additions (all
+        # six displaced entries hold r04-green records; still swept by
         # test_oracle_parity.py) ---
         "doc_source_counts": _doc_source_counts,
         "doc_quality": _doc_quality,
         "orders_by_nation": _orders_by_nation,
         "dedup_exact": _dedup_exact,
         "events_hourly": _events_hourly,
-        # --- slots 65-79: rows-only entries (no SQL oracle) ---
+        "events_user_sessions": _events_user_sessions,
+        # --- slots 70-84: rows-only entries (no SQL oracle) ---
         "ann_topk_ivf": _ann_topk_ivf,
         "minhash_dup_pairs": _minhash_pairs,
         "near_dup_groups": _near_dup_groups,
@@ -2980,6 +3017,12 @@ def oracle_sql() -> dict[str, str]:
                    quantile_disc(n_chars, 0.90) AS p90,
                    quantile_disc(n_chars, 0.99) AS p99
             FROM documents
+        """,
+        "doc_pctl_by_source": """
+            SELECT source,
+                   quantile_disc(n_chars, 0.50) AS p50,
+                   quantile_disc(n_chars, 0.90) AS p90
+            FROM documents GROUP BY source ORDER BY source
         """,
         "doc_length_pctl_cont": """
             SELECT quantile_cont(n_chars, 0.25) AS p25,

@@ -904,6 +904,56 @@ def _weighted_median(vals: np.ndarray, wts: np.ndarray) -> float:
     return (lo + hi) / 2.0
 
 
+def grouped_quantiles(
+    ds: "ray.data.Dataset", *, key_col: str, val_col: str,
+    qs: list[float],
+) -> pd.DataFrame:
+    """Exact PER-GROUP discrete quantiles (DuckDB ``quantile_disc``
+    semantics, 1-based rank ceil(q*n_k) within each group) — the grouped
+    counterpart of value_counts_quantiles and the standard
+    quality-filter statistic (per-source length p50/p90 thresholds).
+
+    Same exchange shape as groupwise_robust_z: ONE per-(key, value)
+    histogram pass — distinct (key, value) PAIRS shuffle, never rows —
+    then a vectorized driver-side rank walk over the histogram (one
+    searchsorted per (group, q), no Python loop over rows).  The
+    driver-side table is bounded by the distinct-pair count, the same
+    contract the robust-z/cume_dist family documents."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.table({key_col: t[key_col], val_col: t[val_col]}).group_by(
+            [key_col, val_col]
+        ).aggregate([([], "count_all")])
+        return pa.table({
+            key_col: g[key_col], val_col: g[val_col],
+            "_n": pc.cast(g["count_all"], pa.int64()),
+        })
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby([key_col, val_col])
+        .aggregate(Sum("_n", alias_name="n"))
+        .to_pandas()
+        .sort_values([key_col, val_col])
+        .reset_index(drop=True)
+    )
+    # SQL semantics: quantile_disc IGNORES null values (filtered inside
+    # the loop so an all-null-value group still emits its row, with NULL
+    # quantiles from the empty frame), and GROUP BY keeps a NULL-key
+    # group (dropna=False)
+    rows = []
+    for k, g in hist.groupby(key_col, sort=True, dropna=False):
+        g = g[g[val_col].notna()]
+        vals = quantiles_from_counts(
+            g.rename(columns={val_col: "_v"})[["_v", "n"]], "_v", qs
+        )
+        rows.append({key_col: k, **{
+            f"p{int(q * 100)}": v for q, v in zip(qs, vals)
+        }})
+    return pd.DataFrame(rows)
+
+
 def groupwise_robust_z(
     ds: "ray.data.Dataset", *, key_col: str, val_col: str,
     out_col: str = "robust_z",

@@ -230,3 +230,116 @@ def test_events_hopping_null_values_and_coverage(ray_session, tmp_path):
     )
     want = con.execute(em.oracle_sql()["events_hopping"]).df()
     assert_frame_equal(_norm(got), _norm(want), check_exact=True)
+
+
+def test_grouped_quantiles_matches_duckdb_randomized(ray_session):
+    """grouped_quantiles vs per-group quantile_disc on a randomized
+    skewed table (singleton groups, heavy groups, duplicate values)."""
+    import ray
+
+    from pipeline.extras.corpusstats import grouped_quantiles
+
+    rng = np.random.default_rng(13)
+    n = 2000
+    df = pd.DataFrame({
+        "k": rng.choice(["a", "b", "c", "single", "heavy"],
+                        p=[0.2, 0.2, 0.1, 0.0005, 0.4995], size=n),
+        "v": rng.integers(0, 50, n).astype(np.int64),
+    })
+    df.loc[0, "k"] = "single"  # guarantee the singleton group exists
+    ds = ray.data.from_pandas(df).repartition(4)
+    got = grouped_quantiles(ds, key_col="k", val_col="v",
+                            qs=[0.25, 0.5, 0.9])
+    con = duckdb.connect()
+    con.register("t", df)
+    want = con.execute("""
+        SELECT k, quantile_disc(v, 0.25) AS p25,
+               quantile_disc(v, 0.50) AS p50,
+               quantile_disc(v, 0.90) AS p90
+        FROM t GROUP BY k ORDER BY k
+    """).df()
+    got = got.sort_values("k").reset_index(drop=True)
+    assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+
+
+def test_events_hopping_pre_epoch_floor(ray_session, tmp_path):
+    """Pre-epoch timestamps bucket by FLOOR division (trunc-toward-zero
+    would shift them one window toward zero vs the SQL oracle)."""
+    import __ray_entry__ as em
+
+    df = pd.DataFrame({
+        "event_id": [0, 1, 2],
+        "ts": pd.to_datetime([
+            "1969-12-31 23:30:00",   # epoch -1800s -> hour -1 (floor)
+            "1969-12-31 22:00:00",   # epoch -7200s -> hour -2 (exact)
+            "1970-01-01 00:30:00",   # epoch +1800s -> hour 0
+        ]),
+        "user_id": [1, 1, 2],
+        "event_type": ["click", "click", "view"],
+        "value": [1.0, 2.0, 3.0],
+        "props": "{}",
+    })
+    pq.write_table(pa.Table.from_pandas(df), str(tmp_path / "events.parquet"))
+    got = em._events_hopping(str(tmp_path))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/events.parquet')"
+    )
+    want = con.execute(em.oracle_sql()["events_hopping"]).df()
+    assert set(got["win"]) == set(want["win"]) == {-3, -2, -1, 0}
+    assert_frame_equal(_norm(got), _norm(want), check_exact=True)
+
+
+def test_events_user_paths_null_semantics(ray_session, tmp_path):
+    """string_agg semantics on nulls: NULL event_type elements are
+    skipped, an all-NULL group aggregates to NULL, and a NULL user_id
+    still forms its own group."""
+    import __ray_entry__ as em
+
+    df = pd.DataFrame({
+        "event_id": [0, 1, 2, 3, 4],
+        "ts": pd.to_datetime([
+            "2024-01-01 00:00", "2024-01-01 00:01", "2024-01-01 00:02",
+            "2024-01-01 00:03", "2024-01-01 00:04",
+        ]),
+        "user_id": pd.array([1, 1, 2, None, 1], dtype="Int64"),
+        "event_type": ["click", None, None, "view", "buy"],
+        "value": 1.0,
+        "props": "{}",
+    })
+    pq.write_table(
+        pa.Table.from_pandas(df, preserve_index=False),
+        str(tmp_path / "events.parquet"),
+    )
+    got = em._events_user_paths(str(tmp_path))
+    assert len(got) == 3  # users 1, 2, NULL
+    by_user = got.set_index("user_id")["path"]
+    assert by_user.loc[1.0] == "click->buy"     # null element skipped
+    assert pd.isna(by_user.loc[2.0])            # all-null group -> NULL
+    nullrow = got[got["user_id"].isna()]
+    assert len(nullrow) == 1 and nullrow["path"].iloc[0] == "view"
+
+
+def test_grouped_quantiles_null_keys_and_values(ray_session):
+    """SQL parity on nulls: NULL grouping key keeps its own group,
+    NULL values are ignored by the rank walk, and an all-null-value
+    group emits NULL quantiles."""
+    import ray
+
+    from pipeline.extras.corpusstats import grouped_quantiles
+
+    df = pd.DataFrame({
+        "k": ["a", "a", None, None, "b", "b"],
+        "v": pd.array([1, 3, 10, 20, None, None], dtype="Int64"),
+    })
+    ds = ray.data.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+    got = grouped_quantiles(ds, key_col="k", val_col="v", qs=[0.5])
+    assert len(got) == 3
+    as_map = {
+        (k if isinstance(k, str) else None): v
+        for k, v in zip(got["k"], got["p50"])
+    }
+    assert as_map["a"] == 1          # ceil(0.5*2) = rank 1 -> value 1
+    assert as_map[None] == 10        # null key group kept
+    assert as_map["b"] is None or pd.isna(as_map["b"])  # all-null values
