@@ -407,9 +407,13 @@ def _events_hourly(sf_dir: str) -> pd.DataFrame:
         import pyarrow.compute as pc
 
         # normalize any input precision to microseconds first (a ns
-        # column would shift buckets 1000x)
+        # column would shift buckets 1000x); FLOOR division like
+        # events_type_pivot/events_hopping — int64 divide truncates
+        # toward zero and misplaces pre-epoch timestamps; float64 is
+        # exact for |epoch| < 2^53 us
         epoch = pc.cast(pc.cast(batch["ts"], pa.timestamp("us")), pa.int64())
-        hour = pc.divide(epoch, 3_600_000_000)
+        hour = pc.floor(pc.divide(pc.cast(epoch, pa.float64()),
+                                  pa.scalar(3_600_000_000.0)))
         return pa.table(
             {
                 "event_type": batch["event_type"],

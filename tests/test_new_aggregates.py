@@ -290,6 +290,12 @@ def test_events_hopping_pre_epoch_floor(ray_session, tmp_path):
     assert set(got["win"]) == set(want["win"]) == {-3, -2, -1, 0}
     assert_frame_equal(_norm(got), _norm(want), check_exact=True)
 
+    # the tumbling counterpart shares the floor-division rule
+    got_h = em._events_hourly(str(tmp_path))
+    want_h = con.execute(em.oracle_sql()["events_hourly"]).df()
+    assert set(got_h["hour_bucket"]) == {-2, -1, 0}
+    assert_frame_equal(_norm(got_h), _norm(want_h), check_exact=True)
+
 
 def test_events_user_paths_null_semantics(ray_session, tmp_path):
     """string_agg semantics on nulls: NULL event_type elements are
