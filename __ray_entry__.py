@@ -1569,6 +1569,42 @@ def _doc_pctl_by_source(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("source").reset_index(drop=True)
 
 
+def _doc_ntile_by_source(sf_dir: str) -> pd.DataFrame:
+    """NTILE(4) quartile binning per source (SQL window function; the
+    standard quality-binning op: tag each doc with its within-source
+    length quartile).  Bucketed per_key_ordered shuffle, then the tile
+    index is computed VECTORIZED from (cumcount, group size) with SQL
+    NTILE's exact fill rule — the first (n mod k) tiles hold
+    ceil(n/k) rows — no per-row Python."""
+    from pipeline.partition import per_key_ordered
+
+    K = 4
+
+    def ntile(g: pd.DataFrame) -> pd.DataFrame:
+        i = g.groupby("source").cumcount().to_numpy()
+        n = g.groupby("source")["doc_id"].transform("size").to_numpy()
+        small, cnt_big = n // K, n % K
+        big = small + 1
+        in_big = i < cnt_big * big
+        tile = np.where(
+            in_big,
+            i // np.maximum(big, 1),
+            cnt_big + (i - cnt_big * big) // np.maximum(small, 1),
+        ) + 1
+        return pd.DataFrame({
+            "doc_id": g["doc_id"], "source": g["source"],
+            "n_chars": g["n_chars"], "quartile": tile.astype(np.int64),
+        })
+
+    ds = _read(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "source", "n_chars"],
+    )
+    out = per_key_ordered(
+        ds, key="source", order_by=["n_chars", "doc_id"], fn=ntile)
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
 def _events_distinct_users_hll(sf_dir: str) -> pd.DataFrame:
     """Approximate grouped distinct count (HyperLogLog, p=12, ~1.6% se):
     the 100-TB path when the key set is too large for the exact
@@ -2465,22 +2501,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
     WITH RECURSIVE SQL oracle) — graded first time this round.
     Slot 20: decontaminate_ngrams, SQL oracle added in r5 (literal
     8-gram mirror of the hashed shingles).
-    Slots 21-26: doc_mode_lang_by_source, orders_customer_full,
+    Slots 21-27: doc_mode_lang_by_source, orders_customer_full,
     doc_length_pctl_cont, events_hopping, events_user_paths,
-    doc_pctl_by_source — late-r5 SQL-oracled additions, swapped into
-    the window in place of six r04-green entries (doc_source_counts,
-    doc_quality, orders_by_nation, dedup_exact, events_hourly,
-    events_user_sessions).
-    Slots 27-46: SQL-oracled entries already driver-graded oracle-exact
+    doc_pctl_by_source, doc_ntile_by_source — late-r5 SQL-oracled
+    additions, swapped into the window in place of seven r04-green
+    entries (doc_source_counts, doc_quality, orders_by_nation,
+    dedup_exact, events_hourly, events_user_sessions, events_lag).
+    Slots 28-46: SQL-oracled entries already driver-graded oracle-exact
     in CORRECTNESS_r04.
     Slots 47-50: customers_urgent_semi, orders_rollup,
     events_type_pivot, doc_corr_by_source — new in r5, rotated INTO
     the window (the displaced entries keep durable r04 records),
     so every SQL-oracled query ends with a driver-green record from
     some round.
-    Slots 51-69: SQL-oracled entries with durable r04 exact records,
+    Slots 51-70: SQL-oracled entries with durable r04 exact records,
     rotated out to make room (still swept by test_oracle_parity.py).
-    Slots 70-84: rows-only (no SQL oracle) entries.
+    Slots 71-85: rows-only (no SQL oracle) entries.
     """
     return {
         # --- slots 1-18: rotate into the graded window (r5) ---
@@ -2526,9 +2562,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- slot 26: per-group quantiles, late-r5 addition (swapped in
         # for events_user_sessions, r04-green) ---
         "doc_pctl_by_source": _doc_pctl_by_source,
-        # --- slots 27-50: driver-graded oracle-exact in r04 ---
+        # --- slot 27: NTILE quartile binning, late-r5 addition (swapped
+        # in for events_lag, r04-green) ---
+        "doc_ntile_by_source": _doc_ntile_by_source,
+        # --- slots 28-50: driver-graded oracle-exact in r04 ---
         "orders_customer_join": _orders_customer_join,
-        "events_lag": _events_lag,
         "ann_topk": _ann_topk,
         "ngram_jaccard_pairs": _ngram_jaccard,
         "scrub_documents": _scrub_documents,
@@ -2569,8 +2607,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_top10_longest": _doc_top10_longest,
         "doc_alnum_ratio": _doc_alnum_ratio,
         "doc_len_histogram": _doc_len_histogram,
-        # --- rotated out in favor of the six late-r5 additions (all
-        # six displaced entries hold r04-green records; still swept by
+        # --- rotated out in favor of the seven late-r5 additions (all
+        # seven displaced entries hold r04-green records; still swept by
         # test_oracle_parity.py) ---
         "doc_source_counts": _doc_source_counts,
         "doc_quality": _doc_quality,
@@ -2578,7 +2616,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": _dedup_exact,
         "events_hourly": _events_hourly,
         "events_user_sessions": _events_user_sessions,
-        # --- slots 70-84: rows-only entries (no SQL oracle) ---
+        "events_lag": _events_lag,
+        # --- slots 71-85: rows-only entries (no SQL oracle) ---
         "ann_topk_ivf": _ann_topk_ivf,
         "minhash_dup_pairs": _minhash_pairs,
         "near_dup_groups": _near_dup_groups,
@@ -3021,6 +3060,13 @@ def oracle_sql() -> dict[str, str]:
                    quantile_disc(n_chars, 0.90) AS p90,
                    quantile_disc(n_chars, 0.99) AS p99
             FROM documents
+        """,
+        "doc_ntile_by_source": """
+            SELECT doc_id, source, n_chars,
+                   ntile(4) OVER (
+                       PARTITION BY source ORDER BY n_chars, doc_id
+                   ) AS quartile
+            FROM documents ORDER BY doc_id
         """,
         "doc_pctl_by_source": """
             SELECT source,

@@ -62,7 +62,7 @@ QUERY_NAMES = [
     "customers_urgent_semi", "orders_rollup",
     "events_type_pivot", "doc_corr_by_source", "doc_mode_lang_by_source",
     "orders_customer_full", "doc_length_pctl_cont", "events_hopping",
-    "events_user_paths", "doc_pctl_by_source",
+    "events_user_paths", "doc_pctl_by_source", "doc_ntile_by_source",
 ]
 
 

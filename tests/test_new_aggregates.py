@@ -349,3 +349,31 @@ def test_grouped_quantiles_null_keys_and_values(ray_session):
     assert as_map["a"] == 1          # ceil(0.5*2) = rank 1 -> value 1
     assert as_map[None] == 10        # null key group kept
     assert as_map["b"] is None or pd.isna(as_map["b"])  # all-null values
+
+
+def test_doc_ntile_matches_duckdb_odd_group_sizes(ray_session, tmp_path):
+    """NTILE fill rule on groups smaller than, equal to, and not
+    divisible by k=4 (sizes 1..9), vs the SQL window function."""
+    import __ray_entry__ as em
+
+    rows = []
+    doc_id = 0
+    rng = np.random.default_rng(17)
+    for si, size in enumerate([1, 2, 3, 4, 5, 7, 9]):
+        for _ in range(size):
+            rows.append((doc_id, f"s{si}", int(rng.integers(1, 40)),
+                         "x", "en"))
+            doc_id += 1
+    df = pd.DataFrame(
+        rows, columns=["doc_id", "source", "n_chars", "text", "lang"]
+    )
+    pq.write_table(pa.Table.from_pandas(df), str(tmp_path / "documents.parquet"))
+
+    got = em._doc_ntile_by_source(str(tmp_path))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')"
+    )
+    want = con.execute(em.oracle_sql()["doc_ntile_by_source"]).df()
+    assert_frame_equal(_norm(got), _norm(want), check_exact=True)
