@@ -1564,8 +1564,12 @@ def _doc_pctl_by_source(sf_dir: str) -> pd.DataFrame:
         _read(f"{sf_dir}/documents.parquet", columns=["source", "n_chars"]),
         key_col="source", val_col="n_chars", qs=[0.5, 0.9],
     )
-    df["p50"] = df["p50"].astype("int64")
-    df["p90"] = df["p90"].astype("int64")
+    for c in ("p50", "p90"):
+        # an all-null-value group carries NULL quantiles — DuckDB's .df()
+        # then yields float64 NaN, so only cast when fully non-null
+        # (mirroring the oracle's dtype in both regimes)
+        if df[c].notna().all():
+            df[c] = df[c].astype("int64")
     return df.sort_values("source").reset_index(drop=True)
 
 
@@ -1581,8 +1585,12 @@ def _doc_ntile_by_source(sf_dir: str) -> pd.DataFrame:
     K = 4
 
     def ntile(g: pd.DataFrame) -> pd.DataFrame:
-        i = g.groupby("source").cumcount().to_numpy()
-        n = g.groupby("source")["doc_id"].transform("size").to_numpy()
+        # dropna=False: SQL PARTITION BY treats NULL keys as one
+        # partition (default-dropna would NaN their cumcount and the
+        # int64 cast below would emit INT64_MIN garbage)
+        i = g.groupby("source", dropna=False).cumcount().to_numpy()
+        n = g.groupby("source", dropna=False)["doc_id"].transform(
+            "size").to_numpy()
         small, cnt_big = n // K, n % K
         big = small + 1
         in_big = i < cnt_big * big

@@ -844,25 +844,8 @@ def groupwise_cume_dist(
     map-only searchsorted lookup + ONE IEEE division — bit-identical to
     SQL cume_dist() over the same column."""
     import ray as _ray
-    from ray.data.aggregate import Sum
 
-    def partial(t: pa.Table) -> pa.Table:
-        g = pa.table({key_col: t[key_col], val_col: t[val_col]}).group_by(
-            [key_col, val_col]
-        ).aggregate([([], "count_all")])
-        return pa.table({
-            key_col: g[key_col], val_col: g[val_col],
-            "_n": pc.cast(g["count_all"], pa.int64()),
-        })
-
-    hist = (
-        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby([key_col, val_col])
-        .aggregate(Sum("_n", alias_name="n"))
-        .to_pandas()
-        .sort_values([key_col, val_col])
-        .reset_index(drop=True)
-    )
+    hist = _pair_histogram(ds, key_col, val_col)
     hist["_cum"] = hist.groupby(key_col, sort=False)["n"].cumsum()
     hist["_tot"] = hist.groupby(key_col, sort=False)["n"].transform("sum")
     # every (key, value) pair seen in the data has an exact histogram
@@ -904,6 +887,34 @@ def _weighted_median(vals: np.ndarray, wts: np.ndarray) -> float:
     return (lo + hi) / 2.0
 
 
+def _pair_histogram(ds: "ray.data.Dataset", key_col: str,
+                    val_col: str) -> pd.DataFrame:
+    """ONE per-(key, value) histogram pass — the shared exchange of the
+    grouped normalization/quantile family (cume_dist, robust_z, grouped
+    quantiles): a per-batch Arrow count_all combiner so only DISTINCT
+    (key, value) PAIRS shuffle, never rows, then a small two-key groupby
+    merge; returns the (key, value, n) table sorted by (key, value)."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.table({key_col: t[key_col], val_col: t[val_col]}).group_by(
+            [key_col, val_col]
+        ).aggregate([([], "count_all")])
+        return pa.table({
+            key_col: g[key_col], val_col: g[val_col],
+            "_n": pc.cast(g["count_all"], pa.int64()),
+        })
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby([key_col, val_col])
+        .aggregate(Sum("_n", alias_name="n"))
+        .to_pandas()
+        .sort_values([key_col, val_col])
+        .reset_index(drop=True)
+    )
+
+
 def grouped_quantiles(
     ds: "ray.data.Dataset", *, key_col: str, val_col: str,
     qs: list[float],
@@ -919,25 +930,7 @@ def grouped_quantiles(
     searchsorted per (group, q), no Python loop over rows).  The
     driver-side table is bounded by the distinct-pair count, the same
     contract the robust-z/cume_dist family documents."""
-    from ray.data.aggregate import Sum
-
-    def partial(t: pa.Table) -> pa.Table:
-        g = pa.table({key_col: t[key_col], val_col: t[val_col]}).group_by(
-            [key_col, val_col]
-        ).aggregate([([], "count_all")])
-        return pa.table({
-            key_col: g[key_col], val_col: g[val_col],
-            "_n": pc.cast(g["count_all"], pa.int64()),
-        })
-
-    hist = (
-        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby([key_col, val_col])
-        .aggregate(Sum("_n", alias_name="n"))
-        .to_pandas()
-        .sort_values([key_col, val_col])
-        .reset_index(drop=True)
-    )
+    hist = _pair_histogram(ds, key_col, val_col)
     # SQL semantics: quantile_disc IGNORES null values (filtered inside
     # the loop so an all-null-value group still emits its row, with NULL
     # quantiles from the empty frame), and GROUP BY keeps a NULL-key
@@ -974,25 +967,8 @@ def groupwise_robust_z(
     correctly rounded on half-integer values, so the doubles bit-match
     DuckDB's median()/abs()/division pipeline."""
     import ray as _ray
-    from ray.data.aggregate import Sum
 
-    def partial(t: pa.Table) -> pa.Table:
-        g = pa.table({key_col: t[key_col], val_col: t[val_col]}).group_by(
-            [key_col, val_col]
-        ).aggregate([([], "count_all")])
-        return pa.table({
-            key_col: g[key_col], val_col: g[val_col],
-            "_n": pc.cast(g["count_all"], pa.int64()),
-        })
-
-    hist = (
-        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby([key_col, val_col])
-        .aggregate(Sum("_n", alias_name="n"))
-        .to_pandas()
-        .sort_values([key_col, val_col])
-        .reset_index(drop=True)
-    )
+    hist = _pair_histogram(ds, key_col, val_col)
     keys, meds, mads = [], [], []
     for k, g in hist.groupby(key_col, sort=True):
         v = g[val_col].to_numpy().astype(np.float64)

@@ -377,3 +377,55 @@ def test_doc_ntile_matches_duckdb_odd_group_sizes(ray_session, tmp_path):
     )
     want = con.execute(em.oracle_sql()["doc_ntile_by_source"]).df()
     assert_frame_equal(_norm(got), _norm(want), check_exact=True)
+
+
+def test_doc_ntile_null_source_partition(ray_session, tmp_path):
+    """SQL PARTITION BY treats NULL keys as one partition: NULL-source
+    rows get real quartiles, not int-cast NaN garbage."""
+    import __ray_entry__ as em
+
+    df = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3, 4],
+        "source": ["a", None, "a", None, "a"],
+        "n_chars": [5, 1, 9, 7, 3],
+        "text": "x", "lang": "en",
+    })
+    pq.write_table(
+        pa.Table.from_pandas(df, preserve_index=False),
+        str(tmp_path / "documents.parquet"),
+    )
+    got = em._doc_ntile_by_source(str(tmp_path))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')"
+    )
+    want = con.execute(em.oracle_sql()["doc_ntile_by_source"]).df()
+    assert got["quartile"].between(1, 4).all()
+    assert_frame_equal(_norm(got), _norm(want), check_exact=True)
+
+
+def test_doc_pctl_by_source_all_null_group(ray_session, tmp_path):
+    """An all-null-value source emits NULL quantiles (float NaN, like
+    the oracle's .df() dtype) instead of crashing the int64 cast."""
+    import __ray_entry__ as em
+
+    df = pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "source": ["a", "a", "empty"],
+        "n_chars": pd.array([10, 20, None], dtype="Int64"),
+        "text": "x", "lang": "en",
+    })
+    pq.write_table(
+        pa.Table.from_pandas(df, preserve_index=False),
+        str(tmp_path / "documents.parquet"),
+    )
+    got = em._doc_pctl_by_source(str(tmp_path))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')"
+    )
+    want = con.execute(em.oracle_sql()["doc_pctl_by_source"]).df()
+    assert pd.isna(got.set_index("source").loc["empty", "p50"])
+    assert_frame_equal(_norm(got), _norm(want), check_exact=True)
