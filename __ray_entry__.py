@@ -1547,9 +1547,12 @@ def _doc_length_pctl_cont(sf_dir: str) -> pd.DataFrame:
         _read(f"{sf_dir}/documents.parquet", columns=["n_chars"]),
         "n_chars", qs,
     )
-    return pd.DataFrame(
-        [{f"p{int(q * 100)}": float(v) for q, v in zip(qs, vals)}]
-    )
+    return pd.DataFrame([{
+        # empty corpus: quantiles are None -> NaN, like the oracle's
+        # NULL row through .df()
+        f"p{int(q * 100)}": (float(v) if v is not None else float("nan"))
+        for q, v in zip(qs, vals)
+    }])
 
 
 def _doc_pctl_by_source(sf_dir: str) -> pd.DataFrame:

@@ -562,6 +562,11 @@ def quantiles_from_counts(counts: pd.DataFrame, col: str,
     ``ceil(q * n_total)`` of the sorted multiset (verified bit-identical
     against DuckDB on integer columns — both compute ceil over the same
     IEEE double product)."""
+    if col not in counts.columns:  # empty-dataset to_pandas drops columns
+        return [None] * len(qs)
+    # SQL quantile_disc IGNORES null values; a null histogram row (Ray/
+    # Arrow groupbys retain null keys) must not count toward n_total
+    counts = counts[counts[col].notna()]
     counts = counts.sort_values(col).reset_index(drop=True)
     vals = counts[col].to_numpy()
     cum = counts["n"].to_numpy().cumsum()
@@ -594,6 +599,11 @@ def quantiles_cont_from_counts(counts: pd.DataFrame, col: str,
     (CRN-RN) * v[floor(RN)] + (RN-FRN) * v[ceil(RN)] — the same IEEE
     double expression DuckDB's Interpolator evaluates, so integer and
     double inputs are bit-portable."""
+    if col not in counts.columns:  # empty-dataset to_pandas drops columns
+        return [None] * len(qs)
+    # SQL quantile_cont IGNORES null values (same rule as the discrete
+    # walk above)
+    counts = counts[counts[col].notna()]
     counts = counts.sort_values(col).reset_index(drop=True)
     vals = counts[col].to_numpy()
     cum = counts["n"].to_numpy().cumsum()
@@ -905,14 +915,15 @@ def _pair_histogram(ds: "ray.data.Dataset", key_col: str,
             "_n": pc.cast(g["count_all"], pa.int64()),
         })
 
-    return (
+    hist = (
         ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
         .groupby([key_col, val_col])
         .aggregate(Sum("_n", alias_name="n"))
         .to_pandas()
-        .sort_values([key_col, val_col])
-        .reset_index(drop=True)
     )
+    if key_col not in hist.columns:  # empty-dataset to_pandas drops columns
+        return pd.DataFrame([], columns=[key_col, val_col, "n"])
+    return hist.sort_values([key_col, val_col]).reset_index(drop=True)
 
 
 def grouped_quantiles(
@@ -931,6 +942,9 @@ def grouped_quantiles(
     driver-side table is bounded by the distinct-pair count, the same
     contract the robust-z/cume_dist family documents."""
     hist = _pair_histogram(ds, key_col, val_col)
+    names = [key_col] + [f"p{int(q * 100)}" for q in qs]
+    if key_col not in hist.columns:  # empty corpus drops columns
+        return pd.DataFrame([], columns=names)
     # SQL semantics: quantile_disc IGNORES null values (filtered inside
     # the loop so an all-null-value group still emits its row, with NULL
     # quantiles from the empty frame), and GROUP BY keeps a NULL-key
@@ -944,7 +958,9 @@ def grouped_quantiles(
         rows.append({key_col: k, **{
             f"p{int(q * 100)}": v for q, v in zip(qs, vals)
         }})
-    return pd.DataFrame(rows)
+    # explicit columns so an all-filtered corpus yields the declared
+    # schema (bare DataFrame([]) would be column-less downstream)
+    return pd.DataFrame(rows, columns=names)
 
 
 def groupwise_robust_z(

@@ -235,27 +235,31 @@ def salted_group_counts(
 _BCAST_JOIN_CACHE: dict = {}
 
 
-def _bcast_join_batch(batch: pd.DataFrame, *, small_ref, on: str,
-                      how: str) -> pd.DataFrame:
-    """Task-pool body for broadcast_join: the broadcast dimension table
-    is deserialized ONCE PER WORKER (module-level cache keyed by the
-    ref — Ray worker processes persist across tasks, so this matches the
-    actor pool's fetch-once property without the pool's spin-up cost:
-    the old 8-actor pool cost ~7 s of process startup on a 150k-row
-    dimension lookup whose compute is ~0.5 s)."""
+def _fetch_once(ref):
+    """Per-worker fetch-once for a ray.put broadcast: deserialized ONCE
+    PER WORKER (module-level cache keyed by the ref — Ray worker
+    processes persist across tasks, so this matches an actor pool's
+    fetch-once property without the pool's spin-up cost: an 8-actor
+    pool cost ~7 s of process startup on a 150k-row dimension lookup
+    whose compute is ~0.5 s).  Memory is bounded at 4 live broadcasts
+    per worker, FIFO evict — a single slot thrashes when two broadcast
+    stages interleave batches on one worker."""
     import ray as _ray
 
-    key = small_ref.hex()
-    small = _BCAST_JOIN_CACHE.get(key)
-    if small is None:
-        small = _ray.get(small_ref)
+    key = ref.hex()
+    val = _BCAST_JOIN_CACHE.get(key)
+    if val is None:
+        val = _ray.get(ref)
         while len(_BCAST_JOIN_CACHE) >= 4:
-            # bound memory at 4 live broadcasts per worker, FIFO evict —
-            # a single slot thrashes when two broadcast stages
-            # interleave batches on one worker
             _BCAST_JOIN_CACHE.pop(next(iter(_BCAST_JOIN_CACHE)))
-        _BCAST_JOIN_CACHE[key] = small
-    return batch.merge(small, on=on, how=how)
+        _BCAST_JOIN_CACHE[key] = val
+    return val
+
+
+def _bcast_join_batch(batch: pd.DataFrame, *, small_ref, on: str,
+                      how: str) -> pd.DataFrame:
+    """Task-pool body for broadcast_join (see _fetch_once)."""
+    return batch.merge(_fetch_once(small_ref), on=on, how=how)
 
 
 def broadcast_join(
@@ -402,24 +406,14 @@ def semi_join(
     return left.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
 
 
-_FULL_OUTER_CACHE: dict = {}
-
-
 def _full_outer_batch(batch: pa.Table, *, small_ref, on: str,
                       out_names: list[str]) -> pa.Table:
     """Task-pool body for full_outer_join's streaming half: per-batch
-    Arrow (Acero) LEFT OUTER join against the broadcast dimension table.
-    Arrow keeps int64-with-null exact where a pandas merge would promote
-    to float64. Same per-worker fetch-once cache as _bcast_join_batch."""
-    import ray as _ray
-
-    key = small_ref.hex()
-    small = _FULL_OUTER_CACHE.get(key)
-    if small is None:
-        small = _ray.get(small_ref)
-        while len(_FULL_OUTER_CACHE) >= 4:
-            _FULL_OUTER_CACHE.pop(next(iter(_FULL_OUTER_CACHE)))
-        _FULL_OUTER_CACHE[key] = small
+    Arrow (Acero) LEFT OUTER join against the broadcast dimension table
+    (fetched once per worker, see _fetch_once).  Arrow keeps
+    int64-with-null exact where a pandas merge would promote to
+    float64."""
+    small = _fetch_once(small_ref)
     return batch.join(small, keys=[on], join_type="left outer").select(out_names)
 
 
@@ -457,7 +451,8 @@ def full_outer_join(
         # numpy dtypes / Python classes for pandas-backed ones
         if isinstance(t, pa.DataType):
             return t
-        if t is object or t is str:
+        # equality, not identity: np.dtype('O') == object but is NOT it
+        if t == object or t is str:
             return pa.string()  # pandas object column: assume string
         return pa.from_numpy_dtype(np.dtype(t))
 
@@ -503,12 +498,17 @@ def full_outer_join(
     mk = ds.select_columns([on]).map_batches(
         matched_keys, batch_format="pyarrow", zero_copy_batch=True,
     ).to_pandas()
-    # all-empty blocks can drop the column in to_pandas
-    matched_vals = set(mk[on].dropna()) if on in mk.columns else set()
-    matched_mask = small_tbl[on].is_valid().to_pandas() & (
-        small_tbl[on].to_pandas().isin(matched_vals)
-    )
-    rem = small_tbl.filter(pa.array(~matched_mask.to_numpy()))
+    # stay in Arrow for the membership test: a pandas detour promotes
+    # int64-with-null to float64, which collapses keys >= 2^53.
+    # (all-empty blocks can drop the column in to_pandas)
+    if on in mk.columns and len(mk):
+        mk_arr = pc.unique(pa.array(mk[on]).cast(left_types[on]))
+    else:
+        mk_arr = pa.array([], type=left_types[on])
+    matched = pc.fill_null(
+        pc.is_in(small_tbl[on], value_set=mk_arr), False
+    )  # null small keys never match (SQL) -> kept as right-only
+    rem = small_tbl.filter(pc.invert(matched))
 
     rem_cols = {}
     for c in left_names:

@@ -429,3 +429,72 @@ def test_doc_pctl_by_source_all_null_group(ray_session, tmp_path):
     want = con.execute(em.oracle_sql()["doc_pctl_by_source"]).df()
     assert pd.isna(got.set_index("source").loc["empty", "p50"])
     assert_frame_equal(_norm(got), _norm(want), check_exact=True)
+
+
+def test_quantile_walks_ignore_null_values():
+    """Both rank walks skip NULL histogram rows (SQL quantile_disc /
+    quantile_cont ignore NULLs; Arrow groupbys retain null keys)."""
+    from pipeline.extras.corpusstats import (
+        quantiles_cont_from_counts, quantiles_from_counts)
+
+    counts = pd.DataFrame({
+        "x": pd.array([1, 2, 3, None], dtype="Int64"),
+        "n": [1, 1, 1, 5],
+    })
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({
+        "x": pd.array([1, 2, 3] + [None] * 5, dtype="Int64")
+    }))
+    for fn, sql in [(quantiles_from_counts, "quantile_disc"),
+                    (quantiles_cont_from_counts, "quantile_cont")]:
+        got = fn(counts, "x", [0.5, 1.0])
+        want = [con.execute(
+            f"SELECT {sql}(x, {q}) FROM t").fetchone()[0] for q in [0.5, 1.0]]
+        assert [float(g) for g in got] == [float(w) for w in want], sql
+
+
+def test_full_outer_join_large_int64_keys(ray_session):
+    """Keys >= 2^53 survive the matched-set membership test exactly
+    (a pandas float64 detour would collapse 2**53 and 2**53+1)."""
+    import ray
+
+    from pipeline.partition import full_outer_join
+
+    K = 2 ** 53
+    left = pd.DataFrame({"k": [K], "lv": [1]})
+    small = pd.DataFrame({
+        "k": pd.array([K, K + 1, None], dtype="Int64"),
+        "name": ["match", "near", "nul"],
+    })
+    ds = ray.data.from_arrow(pa.Table.from_pandas(left, preserve_index=False))
+    out = full_outer_join(ds, small, on="k")
+    # assert on the ARROW rows: the engine output is exact int64; a
+    # caller's to_pandas would float-promote k (the null-key row nulls
+    # the column) and collapse K+1 — exactly the detour the operator's
+    # own membership test must avoid
+    rows = out.take_all()
+    assert len(rows) == 3
+    by_name = {r["name"]: r for r in rows}
+    assert set(by_name) == {"match", "near", "nul"}
+    assert by_name["near"]["k"] == K + 1 and by_name["near"]["lv"] is None
+    assert by_name["match"]["lv"] == 1
+
+
+def test_pctl_queries_empty_corpus(ray_session, tmp_path):
+    """Empty documents table: percentile queries emit NULL rows / empty
+    typed frames instead of raising."""
+    import __ray_entry__ as em
+
+    empty = pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "source": pa.array([], pa.string()),
+        "n_chars": pa.array([], pa.int64()),
+        "text": pa.array([], pa.string()),
+        "lang": pa.array([], pa.string()),
+    })
+    pq.write_table(empty, str(tmp_path / "documents.parquet"))
+    cont = em._doc_length_pctl_cont(str(tmp_path))
+    assert len(cont) == 1 and cont.isna().all().all()
+    grouped = em._doc_pctl_by_source(str(tmp_path))
+    assert len(grouped) == 0
+    assert list(grouped.columns) == ["source", "p50", "p90"]
