@@ -1576,6 +1576,24 @@ def _doc_pctl_by_source(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("source").reset_index(drop=True)
 
 
+def _doc_pctl_cont_by_source(sf_dir: str) -> pd.DataFrame:
+    """PER-GROUP INTERPOLATED quantiles (grouped_quantiles with
+    interpolated=True): per-source length p50/p90 via quantile_cont's
+    Interpolator expression — the continuous counterpart of
+    doc_pctl_by_source, from the same ONE distinct-pairs histogram
+    exchange."""
+    from pipeline.extras.corpusstats import grouped_quantiles
+
+    df = grouped_quantiles(
+        _read(f"{sf_dir}/documents.parquet", columns=["source", "n_chars"]),
+        key_col="source", val_col="n_chars", qs=[0.5, 0.9],
+        interpolated=True,
+    )
+    df["p50"] = df["p50"].astype("float64")
+    df["p90"] = df["p90"].astype("float64")
+    return df.sort_values("source").reset_index(drop=True)
+
+
 def _doc_ntile_by_source(sf_dir: str) -> pd.DataFrame:
     """NTILE(4) quartile binning per source (SQL window function; the
     standard quality-binning op: tag each doc with its within-source
@@ -2512,22 +2530,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
     WITH RECURSIVE SQL oracle) — graded first time this round.
     Slot 20: decontaminate_ngrams, SQL oracle added in r5 (literal
     8-gram mirror of the hashed shingles).
-    Slots 21-27: doc_mode_lang_by_source, orders_customer_full,
+    Slots 21-28: doc_mode_lang_by_source, orders_customer_full,
     doc_length_pctl_cont, events_hopping, events_user_paths,
-    doc_pctl_by_source, doc_ntile_by_source — late-r5 SQL-oracled
-    additions, swapped into the window in place of seven r04-green
-    entries (doc_source_counts, doc_quality, orders_by_nation,
-    dedup_exact, events_hourly, events_user_sessions, events_lag).
-    Slots 28-46: SQL-oracled entries already driver-graded oracle-exact
+    doc_pctl_by_source, doc_ntile_by_source, doc_pctl_cont_by_source —
+    late-r5 SQL-oracled additions, swapped into the window in place of
+    eight r04-green entries (doc_source_counts, doc_quality,
+    orders_by_nation, dedup_exact, events_hourly, events_user_sessions,
+    events_lag, orders_customer_join).
+    Slots 29-46: SQL-oracled entries already driver-graded oracle-exact
     in CORRECTNESS_r04.
     Slots 47-50: customers_urgent_semi, orders_rollup,
     events_type_pivot, doc_corr_by_source — new in r5, rotated INTO
     the window (the displaced entries keep durable r04 records),
     so every SQL-oracled query ends with a driver-green record from
     some round.
-    Slots 51-70: SQL-oracled entries with durable r04 exact records,
+    Slots 51-71: SQL-oracled entries with durable r04 exact records,
     rotated out to make room (still swept by test_oracle_parity.py).
-    Slots 71-85: rows-only (no SQL oracle) entries.
+    Slots 72-86: rows-only (no SQL oracle) entries.
     """
     return {
         # --- slots 1-18: rotate into the graded window (r5) ---
@@ -2576,8 +2595,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- slot 27: NTILE quartile binning, late-r5 addition (swapped
         # in for events_lag, r04-green) ---
         "doc_ntile_by_source": _doc_ntile_by_source,
-        # --- slots 28-50: driver-graded oracle-exact in r04 ---
-        "orders_customer_join": _orders_customer_join,
+        # --- slot 28: per-group INTERPOLATED quantiles, late-r5
+        # addition (swapped in for orders_customer_join, r04-green) ---
+        "doc_pctl_cont_by_source": _doc_pctl_cont_by_source,
+        # --- slots 29-50: driver-graded oracle-exact in r04 ---
         "ann_topk": _ann_topk,
         "ngram_jaccard_pairs": _ngram_jaccard,
         "scrub_documents": _scrub_documents,
@@ -2618,8 +2639,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_top10_longest": _doc_top10_longest,
         "doc_alnum_ratio": _doc_alnum_ratio,
         "doc_len_histogram": _doc_len_histogram,
-        # --- rotated out in favor of the seven late-r5 additions (all
-        # seven displaced entries hold r04-green records; still swept by
+        # --- rotated out in favor of the eight late-r5 additions (all
+        # eight displaced entries hold r04-green records; still swept by
         # test_oracle_parity.py) ---
         "doc_source_counts": _doc_source_counts,
         "doc_quality": _doc_quality,
@@ -2628,7 +2649,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": _events_hourly,
         "events_user_sessions": _events_user_sessions,
         "events_lag": _events_lag,
-        # --- slots 71-85: rows-only entries (no SQL oracle) ---
+        "orders_customer_join": _orders_customer_join,
+        # --- slots 72-86: rows-only entries (no SQL oracle) ---
         "ann_topk_ivf": _ann_topk_ivf,
         "minhash_dup_pairs": _minhash_pairs,
         "near_dup_groups": _near_dup_groups,
@@ -3071,6 +3093,12 @@ def oracle_sql() -> dict[str, str]:
                    quantile_disc(n_chars, 0.90) AS p90,
                    quantile_disc(n_chars, 0.99) AS p99
             FROM documents
+        """,
+        "doc_pctl_cont_by_source": """
+            SELECT source,
+                   quantile_cont(n_chars, 0.50) AS p50,
+                   quantile_cont(n_chars, 0.90) AS p90
+            FROM documents GROUP BY source ORDER BY source
         """,
         "doc_ntile_by_source": """
             SELECT doc_id, source, n_chars,

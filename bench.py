@@ -63,6 +63,7 @@ QUERY_NAMES = [
     "events_type_pivot", "doc_corr_by_source", "doc_mode_lang_by_source",
     "orders_customer_full", "doc_length_pctl_cont", "events_hopping",
     "events_user_paths", "doc_pctl_by_source", "doc_ntile_by_source",
+    "doc_pctl_cont_by_source",
 ]
 
 

@@ -928,12 +928,14 @@ def _pair_histogram(ds: "ray.data.Dataset", key_col: str,
 
 def grouped_quantiles(
     ds: "ray.data.Dataset", *, key_col: str, val_col: str,
-    qs: list[float],
+    qs: list[float], interpolated: bool = False,
 ) -> pd.DataFrame:
-    """Exact PER-GROUP discrete quantiles (DuckDB ``quantile_disc``
-    semantics, 1-based rank ceil(q*n_k) within each group) — the grouped
-    counterpart of value_counts_quantiles and the standard
-    quality-filter statistic (per-source length p50/p90 thresholds).
+    """Exact PER-GROUP quantiles — discrete (DuckDB ``quantile_disc``
+    semantics, 1-based rank ceil(q*n_k) within each group; the default)
+    or, with ``interpolated=True``, continuous (``quantile_cont``'s
+    Interpolator expression) — the grouped counterpart of
+    value_counts_quantiles(_cont) and the standard quality-filter
+    statistic (per-source length p50/p90 thresholds).
 
     Same exchange shape as groupwise_robust_z: ONE per-(key, value)
     histogram pass — distinct (key, value) PAIRS shuffle, never rows —
@@ -949,10 +951,11 @@ def grouped_quantiles(
     # the loop so an all-null-value group still emits its row, with NULL
     # quantiles from the empty frame), and GROUP BY keeps a NULL-key
     # group (dropna=False)
+    walk = quantiles_cont_from_counts if interpolated else quantiles_from_counts
     rows = []
     for k, g in hist.groupby(key_col, sort=True, dropna=False):
         g = g[g[val_col].notna()]
-        vals = quantiles_from_counts(
+        vals = walk(
             g.rename(columns={val_col: "_v"})[["_v", "n"]], "_v", qs
         )
         rows.append({key_col: k, **{

@@ -498,3 +498,31 @@ def test_pctl_queries_empty_corpus(ray_session, tmp_path):
     grouped = em._doc_pctl_by_source(str(tmp_path))
     assert len(grouped) == 0
     assert list(grouped.columns) == ["source", "p50", "p90"]
+
+
+def test_grouped_quantiles_interpolated_matches_duckdb(ray_session):
+    """grouped_quantiles(interpolated=True) vs per-group quantile_cont
+    on a randomized table (odd group sizes force real interpolation)."""
+    import ray
+
+    from pipeline.extras.corpusstats import grouped_quantiles
+
+    rng = np.random.default_rng(19)
+    n = 1000
+    df = pd.DataFrame({
+        "k": rng.choice(["a", "b", "c", "d"], n),
+        "v": rng.integers(0, 97, n).astype(np.int64),
+    })
+    ds = ray.data.from_pandas(df).repartition(4)
+    got = grouped_quantiles(ds, key_col="k", val_col="v",
+                            qs=[0.25, 0.5, 0.9], interpolated=True)
+    con = duckdb.connect()
+    con.register("t", df)
+    want = con.execute("""
+        SELECT k, quantile_cont(v, 0.25) AS p25,
+               quantile_cont(v, 0.50) AS p50,
+               quantile_cont(v, 0.90) AS p90
+        FROM t GROUP BY k ORDER BY k
+    """).df()
+    got = got.sort_values("k").reset_index(drop=True)
+    assert_frame_equal(got, want, check_dtype=False, check_exact=True)
