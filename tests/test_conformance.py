@@ -201,3 +201,17 @@ def test_pii_entity_stats_matches_sequential_detector(ray_session):
         for sp in detect_spans(t, "conformance"):
             want[sp.label] += 1
     assert dict(zip(got["label"], got["n_spans"])) == dict(want)
+
+
+def test_first_try_span_f1_held_out_range():
+    """Generalization honesty check: rows 4000+ were NEVER used for the
+    gate-tuning error censuses (r4/r5 harvested rows 0-3999), so this
+    range measures out-of-tune-sample quality. Floor = the north-rule
+    target 0.99, NOT the tuned-range 0.997 (measured 0.9944 over the
+    full 4000-7999 block; same irreducible error families)."""
+    counts = SpanCounts()
+    for i in range(4000, 4000 + N_F1):
+        truth, pred = make_first_try_row(i)
+        counts.update(truth, pred)
+    report = finalize(counts)
+    assert report["micro"]["f1"] >= 0.99, report["micro"]
